@@ -1,0 +1,25 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+/** Flagship smoke runner: drives SparkEntry.entry the way the driver does
+  * (rows > 0 check) and prints the corrected pages.
+  */
+object Smoke {
+  def main(args: Array[String]): Unit = {
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    val df = SparkEntry.entry(spark)
+    val rows = df.collect()
+    df.show(5, truncate = 60)
+    println(s"[smoke] entry rows=${rows.length} (driver requires > 0)")
+    require(rows.nonEmpty, "entry returned no rows")
+    spark.stop()
+  }
+}

@@ -1,13 +1,447 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import graft.core._
+import graft.pipeline.Pipeline
+import org.apache.spark.sql.{DataFrame, SparkSession, Column}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+/** Driver contract — one `queries` entry per implemented operator from
+  * SURVEY.md §2, with DuckDB oracle SQL where the operator is
+  * SQL-expressible. Pipeline-specific operators (alignment, profiling,
+  * correction — SURVEY.md §2.8/2.9) run over the deterministic synthetic
+  * Pages corpus and are omitted from `oracleSql` per the harness contract.
+  */
 object SparkEntry {
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
-  def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
-  /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+
+  private def t(s: SparkSession, dir: String, name: String): DataFrame =
+    s.read.parquet(s"$dir/$name.parquet")
+
+  /** Flagship: the full extract+correct pipeline over the synthetic corpus
+    * (3 pages, mirroring the reference's 3-page golden workspace).
+    */
+  def entry(spark: SparkSession): DataFrame = {
+    import spark.implicits._
+    Pipeline.run(Pipeline.generate(spark, 3))
+      .select($"url", $"lang", $"text", $"nCorrections")
+  }
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // ---- §2.4 aggregations ----
+
+    // WER stats shape (wer/cli.py:50-67): total/correct/incorrect + rate
+    "q01_wer_stats" -> ((s, dir) => {
+      t(s, dir, "lineitem").agg(
+        count(lit(1)).as("total_words"),
+        sum(when(col("l_returnflag") === "N", 1L).otherwise(0L)).as("correct_words"),
+        sum(when(col("l_returnflag") =!= "N", 1L).otherwise(0L)).as("incorrect_words")
+      ).withColumn("word_error_rate",
+        col("incorrect_words").cast("double") / col("total_words"))
+    }),
+
+    // per-engine CER accumulation (div/stats.py:60-91): sum of levenshtein
+    // distances + GT length per group
+    "q02_cer_stats" -> ((s, dir) => {
+      t(s, dir, "documents")
+        .groupBy(col("lang"))
+        .agg(
+          sum(levenshtein(substring(col("text"), 1, 30), substring(col("text"), 31, 30)))
+            .as("dist_sum"),
+          sum(col("n_chars")).as("gt_len"),
+          count(lit(1)).as("n_docs"))
+        .orderBy(col("lang"))
+    }),
+
+    // two-level accuracy rollup (div/eval.py:96-221,306-321)
+    "q05_rollup" -> ((s, dir) => {
+      t(s, dir, "lineitem")
+        .rollup(col("l_returnflag"), col("l_linestatus"))
+        .agg(
+          sum(col("l_quantity").cast("decimal(18,2)")).as("sum_qty"),
+          count(lit(1)).as("cnt"))
+        .orderBy(col("l_returnflag").asc_nulls_first, col("l_linestatus").asc_nulls_first)
+    }),
+
+    // predominant language argmax (div/lang.py:24-88)
+    "q06_mode_lang" -> ((s, dir) => {
+      val counts = t(s, dir, "documents").groupBy(col("source"), col("lang")).count()
+      val w = Window.partitionBy(col("source"))
+        .orderBy(col("count").desc, col("lang").asc)
+      counts.withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+        .select(col("source"), col("lang").as("top_lang"), col("count").as("cnt"))
+        .orderBy(col("source"))
+    }),
+
+    // midrange conf fold (min+max)/2 (recognize.py:262-265)
+    "q09_conf_fold" -> ((s, dir) => {
+      t(s, dir, "lineitem")
+        .groupBy(col("l_returnflag"))
+        .agg(((min(col("l_extendedprice")) + max(col("l_extendedprice"))) / 2.0).as("mid_price"),
+          count(lit(1)).as("cnt"))
+        .orderBy(col("l_returnflag"))
+    }),
+
+    // glyph-scale median estimate (psegutils.py:22-35) -> exact median
+    "q26_median_size" -> ((s, dir) => {
+      t(s, dir, "part")
+        .groupBy(col("p_brand"))
+        .agg(expr("percentile(p_size, 0.5)").as("median_size"), count(lit(1)).as("cnt"))
+        .orderBy(col("p_brand"))
+    }),
+
+    // char histogram (chist, ocrolib/common.py:479-491)
+    "q28_histogram" -> ((s, dir) => {
+      t(s, dir, "part")
+        .groupBy(substring(col("p_name"), 1, 1).as("first_char"))
+        .agg(count(lit(1)).as("cnt"))
+        .orderBy(col("first_char"))
+    }),
+
+    // ---- §2.3 joins ----
+
+    // k-way page-tuple zip join (align/cli.py:258-271) as star equi-join;
+    // dims are broadcast (small side), per §4.2
+    "q03_star_join" -> ((s, dir) => {
+      val c = t(s, dir, "customer")
+      val n = broadcast(t(s, dir, "nation"))
+      val r = broadcast(t(s, dir, "region"))
+      c.join(n, c("c_nationkey") === n("n_nationkey"))
+        .join(r, n("n_regionkey") === r("r_regionkey"))
+        .groupBy(col("r_name"), col("n_name"))
+        .agg(count(lit(1)).as("cnt"),
+          sum(col("c_acctbal").cast("decimal(18,2)")).as("acctbal_sum"))
+        .orderBy(col("r_name"), col("n_name"))
+    }),
+
+    // span-overlap theta join (clip.py:157-167 analog): events of the same
+    // user within 1 hour of each other
+    "q23_overlap_join" -> ((s, dir) => {
+      val e1 = t(s, dir, "events").select(col("user_id"), col("event_id").as("id1"), col("ts").as("ts1"))
+      val e2 = t(s, dir, "events").select(col("user_id"), col("event_id").as("id2"), col("ts").as("ts2"))
+      // parquet timestamps load as TIMESTAMP_NTZ; cast through TIMESTAMP
+      // (session TZ is pinned to UTC) for exact microsecond arithmetic
+      def us(c: Column): Column = unix_micros(c.cast("timestamp"))
+      e1.join(e2, Seq("user_id"))
+        .filter(col("id1") < col("id2") &&
+          abs(us(col("ts1")) - us(col("ts2"))) <= 3600000000L)
+        .groupBy(col("user_id"))
+        .agg(count(lit(1)).as("overlap_pairs"))
+        .orderBy(col("user_id"))
+    }),
+
+    // ---- §2.5 window / ranking / top-k ----
+
+    // select_regions top-k (morph.py:309-330)
+    "q04_topk_orders" -> ((s, dir) => {
+      val w = Window.partitionBy(col("o_custkey"))
+        .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+      t(s, dir, "orders")
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") <= 3)
+        .select(col("o_custkey"), col("o_orderkey"), col("rn"))
+        .orderBy(col("o_custkey"), col("rn"))
+    }),
+
+    // candidate ranking + maxCandidates limit (config.json:9)
+    "q11_rank_limit" -> ((s, dir) => {
+      val w = Window.partitionBy(col("l_orderkey"))
+        .orderBy(col("l_extendedprice").desc, col("l_linenumber").asc)
+      t(s, dir, "lineitem")
+        .withColumn("rnk", row_number().over(w))
+        .filter(col("rnk") <= 10)
+        .select(col("l_orderkey"), col("l_linenumber"), col("rnk"))
+        .orderBy(col("l_orderkey"), col("rnk"))
+    }),
+
+    // moving stats ring buffer (ocrolib/common.py:875-885): windowed max
+    // over the last 3 rows (exact-pick aggregate, deterministic)
+    "q10_moving_max" -> ((s, dir) => {
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts").asc, col("event_id").asc)
+        .rowsBetween(-2, 0)
+      t(s, dir, "events")
+        .withColumn("wmax", max(col("value")).over(w))
+        .select(col("user_id"), col("event_id"), col("wmax"))
+        .orderBy(col("user_id"), col("event_id"))
+    }),
+
+    // ---- §2.6 set operations ----
+
+    "q08_set_except" -> ((s, dir) => {
+      val p = t(s, dir, "part"); val l = t(s, dir, "lineitem")
+      val used = p.join(l, p("p_partkey") === l("l_partkey")).select(col("p_type")).distinct()
+      val big = p.filter(col("p_size") > 25).select(col("p_type")).distinct()
+      used.except(big).orderBy(col("p_type"))
+    }),
+
+    // ---- §2.7 scalar functions ----
+
+    // levenshtein as a column expression (edist.py:6-19 -> built-in)
+    "q12_lev_matrix" -> ((s, dir) => {
+      t(s, dir, "nation").crossJoin(t(s, dir, "region"))
+        .select(col("n_name"), col("r_name"),
+          levenshtein(col("n_name"), col("r_name")).as("lev"))
+        .orderBy(col("n_name"), col("r_name"))
+    }),
+
+    // tokenize + token count (aio.py:454-460 role)
+    "q13_token_count" -> ((s, dir) => {
+      t(s, dir, "documents")
+        .select(col("doc_id"),
+          size(split(col("text"), " ")).cast("long").as("n_tokens"),
+          length(col("text")).cast("long").as("len_chars"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // quality scoring: length/space/word-length ratios
+    "q14_quality" -> ((s, dir) => {
+      val nSpaces = length(col("text")) - length(regexp_replace(col("text"), " ", ""))
+      t(s, dir, "documents")
+        .select(col("doc_id"),
+          nSpaces.cast("long").as("n_spaces"),
+          ((length(col("text")) - nSpaces).cast("double") / (nSpaces + 1)).as("avg_word_len"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // stopword-marker scoring (aio.py:462-477 role): occurrence counts by
+    // replace-difference (deterministic integer math)
+    "q07_stopword_score" -> ((s, dir) => {
+      def occ(marker: String): Column =
+        ((length(col("text")) - length(regexp_replace(col("text"), lit(marker), lit("")))) /
+          marker.length).cast("long")
+      t(s, dir, "documents")
+        .select(col("doc_id"), occ(" the ").as("cnt_the"), occ(" data ").as("cnt_data"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // language-ID heuristic: argmax of marker scores
+    "q17_langid" -> ((s, dir) => {
+      def occ(marker: String): Column =
+        ((length(col("text")) - length(regexp_replace(col("text"), lit(marker), lit("")))) /
+          marker.length).cast("long")
+      t(s, dir, "documents")
+        .select(col("doc_id"), occ(" the ").as("s_en"), occ(" query ").as("s_q"))
+        .withColumn("pred", when(col("s_en") >= col("s_q"), "en").otherwise("ql"))
+        .select(col("doc_id"), col("pred"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // char-span substr lineage (image crop analog, §2.1)
+    "q27_charspan" -> ((s, dir) => {
+      t(s, dir, "documents")
+        .select(col("doc_id"), substring(col("text"), 11, 40).as("span_text"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // ---- training-data ops: deduplication ----
+
+    // exact dedup on word-multiset-normalized text (hash-groupBy)
+    "q15_dedup_exact" -> ((s, dir) => {
+      t(s, dir, "documents")
+        .withColumn("fp", md5(to_binary(
+          array_join(array_sort(split(col("text"), " ")), " "), lit("utf-8"))))
+        .groupBy(col("fp"))
+        .agg(min(col("doc_id")).as("keeper"), count(lit(1)).as("n_dups"))
+        .filter(col("n_dups") >= 1)
+        .groupBy(col("n_dups")).agg(count(lit(1)).as("n_groups"))
+        .orderBy(col("n_dups"))
+    }),
+
+    // n-gram Jaccard near-dup: stride-7 char-12-gram shingles, shingle-key
+    // equi-join (the scalable LSH-style band join shape), Jaccard >= 0.5
+    "q16_shingle_jaccard" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val shingles = docs.select(col("doc_id"),
+        explode(expr(
+          "transform(sequence(1, greatest(length(text) - 11, 1), 7), i -> substring(text, i, 12))"
+        )).as("sh")).distinct()
+      val sizes = shingles.groupBy(col("doc_id")).agg(count(lit(1)).as("sz"))
+      val a = shingles.select(col("doc_id").as("id1"), col("sh"))
+      val b = shingles.select(col("doc_id").as("id2"), col("sh"))
+      val common = a.join(b, Seq("sh")).filter(col("id1") < col("id2"))
+        .groupBy(col("id1"), col("id2")).agg(count(lit(1)).as("common"))
+      common
+        .join(sizes.withColumnRenamed("doc_id", "id1").withColumnRenamed("sz", "sz1"), Seq("id1"))
+        .join(sizes.withColumnRenamed("doc_id", "id2").withColumnRenamed("sz", "sz2"), Seq("id2"))
+        .withColumn("jaccard",
+          col("common").cast("double") / (col("sz1") + col("sz2") - col("common")))
+        .filter(col("jaccard") >= 0.5)
+        .select(col("id1"), col("id2"))
+        .orderBy(col("id1"), col("id2"))
+    }),
+
+    // ---- pipeline operators (synthetic Pages corpus; non-SQL-expressible,
+    //      omitted from oracleSql per the harness contract) ----
+
+    "p01_segment_blocks" -> ((s, _) => {
+      import s.implicits._
+      Pipeline.segment(Pipeline.generate(s, 100))
+        .flatMap(p => p.blocks.map(b =>
+          (p.url, b.id, b.kind, b.span.start, b.span.stop, b.text)))
+        .toDF("url", "block_id", "kind", "span_start", "span_stop", "text")
+        .orderBy(col("url"), col("block_id"))
+    }),
+
+    "p02_extract_text" -> ((s, _) => {
+      import s.implicits._
+      Pipeline.segment(Pipeline.generate(s, 100))
+        .map(p => (p.url, HtmlBlocks.extractText(p.blocks)))
+        .toDF("url", "extracted_text")
+        .orderBy(col("url"))
+    }),
+
+    "p04_align_variants" -> ((s, _) => {
+      import s.implicits._
+      Pipeline.align(Pipeline.segment(Pipeline.generate(s, 100)))
+        .flatMap(p => p.lines.flatMap(l => l.variants.map(v =>
+          (p.url, l.lineId, v.index, v.text, v.conf, v.source))))
+        .toDF("url", "line_id", "variant_index", "text", "conf", "source")
+        .orderBy(col("url"), col("line_id"), col("variant_index"))
+    }),
+
+    "p05_correct" -> ((s, _) => {
+      import s.implicits._
+      Pipeline.run(Pipeline.generate(s, 100))
+        .map(c => (c.url, c.lang, c.text, c.nCorrections))
+        .toDF("url", "lang", "corrected_text", "n_corrections")
+        .orderBy(col("url"))
+    }),
+
+    // CER/WER metrics vs golden truth (wer/cli.py:50-67, div/stats.py:60-91)
+    "p06_metrics" -> ((s, _) => {
+      import s.implicits._
+      val n = 100
+      val golden = s.createDataset((0L until n.toLong).map(i =>
+        (graft.fixtures.PagesGen.page(i).row.url, Pipeline.goldenText(i))))
+        .toDF("url", "golden")
+      val corrected = Pipeline.run(Pipeline.generate(s, n))
+        .map(c => (c.url, c.text)).toDF("url", "corrected")
+      corrected.join(golden, Seq("url"))
+        .agg(
+          sum(levenshtein(col("corrected"), col("golden"))).as("char_edits"),
+          sum(length(col("golden"))).as("gt_chars"),
+          sum(when(col("corrected") === col("golden"), 0L).otherwise(1L)).as("incorrect_pages"),
+          count(lit(1)).as("total_pages"))
+        .withColumn("cer", col("char_edits").cast("double") / col("gt_chars"))
+    })
+  )
+
+  def oracleSql: Map[String, String] = Map(
+    "q01_wer_stats" ->
+      """SELECT count(*) AS total_words,
+        |  sum(CASE WHEN l_returnflag = 'N' THEN 1 ELSE 0 END) AS correct_words,
+        |  sum(CASE WHEN l_returnflag <> 'N' THEN 1 ELSE 0 END) AS incorrect_words,
+        |  CAST(sum(CASE WHEN l_returnflag <> 'N' THEN 1 ELSE 0 END) AS DOUBLE) / count(*) AS word_error_rate
+        |FROM lineitem""".stripMargin,
+    "q02_cer_stats" ->
+      """SELECT lang,
+        |  sum(levenshtein(substr(text, 1, 30), substr(text, 31, 30))) AS dist_sum,
+        |  sum(n_chars) AS gt_len, count(*) AS n_docs
+        |FROM documents GROUP BY lang ORDER BY lang""".stripMargin,
+    "q05_rollup" ->
+      """SELECT l_returnflag, l_linestatus,
+        |  sum(CAST(l_quantity AS DECIMAL(18,2))) AS sum_qty, count(*) AS cnt
+        |FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
+        |ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""".stripMargin,
+    "q06_mode_lang" ->
+      """SELECT source, lang AS top_lang, cnt FROM (
+        |  SELECT source, lang, count(*) AS cnt,
+        |    row_number() OVER (PARTITION BY source ORDER BY count(*) DESC, lang ASC) AS rn
+        |  FROM documents GROUP BY source, lang) t
+        |WHERE rn = 1 ORDER BY source""".stripMargin,
+    "q09_conf_fold" ->
+      """SELECT l_returnflag,
+        |  (min(l_extendedprice) + max(l_extendedprice)) / 2.0 AS mid_price,
+        |  count(*) AS cnt
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+    "q26_median_size" ->
+      """SELECT p_brand, quantile_cont(p_size, 0.5) AS median_size, count(*) AS cnt
+        |FROM part GROUP BY p_brand ORDER BY p_brand""".stripMargin,
+    "q28_histogram" ->
+      """SELECT substr(p_name, 1, 1) AS first_char, count(*) AS cnt
+        |FROM part GROUP BY first_char ORDER BY first_char""".stripMargin,
+    "q03_star_join" ->
+      """SELECT r_name, n_name, count(*) AS cnt,
+        |  sum(CAST(c_acctbal AS DECIMAL(18,2))) AS acctbal_sum
+        |FROM customer
+        |JOIN nation ON c_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |GROUP BY r_name, n_name ORDER BY r_name, n_name""".stripMargin,
+    "q23_overlap_join" ->
+      """SELECT e1.user_id, count(*) AS overlap_pairs
+        |FROM events e1 JOIN events e2 ON e1.user_id = e2.user_id
+        |WHERE e1.event_id < e2.event_id
+        |  AND abs(epoch_us(e1.ts) - epoch_us(e2.ts)) <= 3600000000
+        |GROUP BY e1.user_id ORDER BY e1.user_id""".stripMargin,
+    "q04_topk_orders" ->
+      """SELECT o_custkey, o_orderkey, rn FROM (
+        |  SELECT o_custkey, o_orderkey,
+        |    row_number() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey ASC) AS rn
+        |  FROM orders) t
+        |WHERE rn <= 3 ORDER BY o_custkey, rn""".stripMargin,
+    "q11_rank_limit" ->
+      """SELECT l_orderkey, l_linenumber, rnk FROM (
+        |  SELECT l_orderkey, l_linenumber,
+        |    row_number() OVER (PARTITION BY l_orderkey ORDER BY l_extendedprice DESC, l_linenumber ASC) AS rnk
+        |  FROM lineitem) t
+        |WHERE rnk <= 10 ORDER BY l_orderkey, rnk""".stripMargin,
+    "q10_moving_max" ->
+      """SELECT user_id, event_id,
+        |  max(value) OVER (PARTITION BY user_id ORDER BY ts ASC, event_id ASC
+        |    ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS wmax
+        |FROM events ORDER BY user_id, event_id""".stripMargin,
+    "q08_set_except" ->
+      """SELECT DISTINCT p_type FROM part JOIN lineitem ON p_partkey = l_partkey
+        |EXCEPT SELECT p_type FROM part WHERE p_size > 25
+        |ORDER BY p_type""".stripMargin,
+    "q12_lev_matrix" ->
+      """SELECT n_name, r_name, levenshtein(n_name, r_name) AS lev
+        |FROM nation CROSS JOIN region ORDER BY n_name, r_name""".stripMargin,
+    "q13_token_count" ->
+      """SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+        |  CAST(length(text) AS BIGINT) AS len_chars
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "q14_quality" ->
+      """SELECT doc_id,
+        |  CAST(length(text) - length(replace(text, ' ', '')) AS BIGINT) AS n_spaces,
+        |  CAST(length(text) - (length(text) - length(replace(text, ' ', ''))) AS DOUBLE)
+        |    / ((length(text) - length(replace(text, ' ', ''))) + 1) AS avg_word_len
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "q07_stopword_score" ->
+      """SELECT doc_id,
+        |  CAST((length(text) - length(replace(text, ' the ', ''))) / 5 AS BIGINT) AS cnt_the,
+        |  CAST((length(text) - length(replace(text, ' data ', ''))) / 6 AS BIGINT) AS cnt_data
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "q17_langid" ->
+      """SELECT doc_id,
+        |  CASE WHEN CAST((length(text) - length(replace(text, ' the ', ''))) / 5 AS BIGINT)
+        |         >= CAST((length(text) - length(replace(text, ' query ', ''))) / 7 AS BIGINT)
+        |       THEN 'en' ELSE 'ql' END AS pred
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "q27_charspan" ->
+      """SELECT doc_id, substr(text, 11, 40) AS span_text
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "q15_dedup_exact" ->
+      """WITH fps AS (
+        |  SELECT md5(array_to_string(list_sort(string_split(text, ' ')), ' ')) AS fp,
+        |    min(doc_id) AS keeper, count(*) AS n_dups
+        |  FROM documents GROUP BY fp)
+        |SELECT n_dups, count(*) AS n_groups FROM fps GROUP BY n_dups ORDER BY n_dups""".stripMargin,
+    "q16_shingle_jaccard" ->
+      """WITH shingles AS (
+        |  SELECT DISTINCT doc_id, substr(text, CAST(u AS INT), 12) AS sh
+        |  FROM (SELECT doc_id, text,
+        |          unnest(range(1, greatest(length(text) - 11, 1) + 1, 7)) AS u
+        |        FROM documents)),
+        |sizes AS (SELECT doc_id, count(*) AS sz FROM shingles GROUP BY doc_id),
+        |common AS (
+        |  SELECT a.doc_id AS id1, b.doc_id AS id2, count(*) AS common
+        |  FROM shingles a JOIN shingles b ON a.sh = b.sh AND a.doc_id < b.doc_id
+        |  GROUP BY a.doc_id, b.doc_id)
+        |SELECT id1, id2 FROM common
+        |JOIN sizes s1 ON s1.doc_id = id1 JOIN sizes s2 ON s2.doc_id = id2
+        |WHERE CAST(common AS DOUBLE) / (s1.sz + s2.sz - common) >= 0.5
+        |ORDER BY id1, id2""".stripMargin
+  )
 }

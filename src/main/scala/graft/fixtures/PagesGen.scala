@@ -1,0 +1,149 @@
+package graft.fixtures
+
+import graft.core._
+import java.sql.Timestamp
+
+/** Deterministic synthetic Pages corpus (FIXTURES.md §1).
+  *
+  * Pure function of (seed, i): every page is generated independently from a
+  * per-page RNG, so generation parallelizes with `spark.range(n).map` and is
+  * insensitive to partitioning — the property that lets the same corpus be
+  * produced identically at any scale and cluster size. No external data.
+  *
+  * The corpus mirrors the reference's golden workspace role
+  * (blumenbach_anatomie_1805, tests/test_lib.bash:7-18): pages whose HTML
+  * carries known main-content text ("ground truth") corrupted with OCR-style
+  * confusion patterns that the post-correction stage must undo; the
+  * boilerplate (nav/header/footer/links) must be stripped by block
+  * classification. Host distribution is Zipf-skewed to exercise salting.
+  */
+object PagesGen {
+
+  /** Per-language lexicons. Chosen so that no corruption of one word
+    * collides with another lexicon word (generator verifies anyway).
+    */
+  val lexiconDe: Seq[(String, Double)] = Seq(
+    "und" -> 0.060, "die" -> 0.055, "der" -> 0.050, "das" -> 0.030,
+    "ein" -> 0.025, "nicht" -> 0.020, "mit" -> 0.018, "auf" -> 0.016,
+    "sich" -> 0.014, "auch" -> 0.012, "werden" -> 0.011, "aber" -> 0.010,
+    "seite" -> 0.009, "wasser" -> 0.009, "mensch" -> 0.008, "leben" -> 0.008,
+    "zeit" -> 0.008, "welt" -> 0.007, "hand" -> 0.007, "stadt" -> 0.007,
+    "teil" -> 0.007, "tier" -> 0.006, "säugetiere" -> 0.002,
+    "geschichte" -> 0.005, "wissen" -> 0.005, "sprache" -> 0.005,
+    "meer" -> 0.005, "berg" -> 0.004, "wald" -> 0.004, "stein" -> 0.004
+  )
+
+  val lexiconEn: Seq[(String, Double)] = Seq(
+    "the" -> 0.065, "and" -> 0.055, "for" -> 0.030, "that" -> 0.025,
+    "with" -> 0.020, "this" -> 0.018, "from" -> 0.015, "have" -> 0.013,
+    "word" -> 0.010, "stream" -> 0.009, "merge" -> 0.009, "table" -> 0.009,
+    "query" -> 0.008, "batch" -> 0.008, "window" -> 0.008, "filter" -> 0.007,
+    "order" -> 0.007, "value" -> 0.007, "group" -> 0.006, "scan" -> 0.006,
+    "join" -> 0.006, "hash" -> 0.006, "sort" -> 0.005, "column" -> 0.005,
+    "vector" -> 0.005, "customer" -> 0.004, "machine" -> 0.004,
+    "number" -> 0.004, "people" -> 0.004, "system" -> 0.004
+  )
+
+  /** OCR confusion patterns: truth `left` misread as `right`
+    * (confusion-pair shape of edist.py:69-83).
+    */
+  val ocrPatterns: Seq[(String, String)] = Seq(
+    ("e", "c"), ("m", "rn"), ("s", "f")
+  )
+
+  /** Historical patterns (modern left <-> historical right), per the
+    * canonical profiler fixture (run_training_test.bash:36-45: t <-> th).
+    */
+  val histPatterns: Seq[(String, String)] = Seq(("t", "th"))
+
+  def lexiconFor(lang: String): Lexicon = {
+    val uni = (if (lang == "de") lexiconDe else lexiconEn).toMap
+    Lexicon(uni, histPatterns, ocrPatterns, trigramsOf(uni))
+  }
+
+  /** Trigram relative frequencies derived from the lexicon itself — the
+    * stand-in for the reference's shipped 3gs.csv.gz.
+    */
+  def trigramsOf(uni: Map[String, Double]): Map[String, Double] = {
+    val counts = scala.collection.mutable.HashMap.empty[String, Double]
+    uni.foreach { case (w, f) =>
+      var i = 0
+      while (i + 3 <= w.length) {
+        val g = w.substring(i, i + 3)
+        counts(g) = counts.getOrElse(g, 0.0) + f
+        i += 1
+      }
+    }
+    val total = counts.values.sum.max(1e-12)
+    counts.view.mapValues(_ / total).toMap
+  }
+
+  /** Corrupt a word with the first applicable OCR pattern (per-word RNG
+    * decides which); never produces another lexicon word, so every
+    * corruption is correctable in principle.
+    */
+  def corrupt(word: String, rng: java.util.Random, lex: Lexicon): Option[String] = {
+    val applicable = ocrPatterns.filter { case (l, _) => word.contains(l) }
+    if (applicable.isEmpty) return None
+    val (l, r) = applicable(rng.nextInt(applicable.length))
+    val idx = word.indexOf(l)
+    val corrupted = word.substring(0, idx) + r + word.substring(idx + l.length)
+    if (lex.contains(corrupted)) None else Some(corrupted)
+  }
+
+  final case class TruePage(row: PageRow, trueText: String)
+
+  val Epoch = 1356998400000000L // 2013-01-01T00:00:00Z in micros
+
+  def page(i: Long, seed: Long = 42L): TruePage = {
+    val rng = new java.util.Random(seed * 1000003L + i * 2654435761L)
+    val lang = if (rng.nextInt(3) == 0) "de" else "en"
+    val lex = lexiconFor(lang)
+    val words = (if (lang == "de") lexiconDe else lexiconEn).map(_._1).toIndexedSeq
+    // Zipf-ish host skew: cubing the uniform concentrates mass on host 0
+    val host = (97 * math.pow(rng.nextDouble(), 3)).toInt
+    val url = s"https://host$host.example/p$i"
+
+    def sampleWord(): String = words(rng.nextInt(words.length))
+    def line(n: Int): (String, String) = { // (true, corrupted)
+      val ws = Seq.fill(n)(sampleWord())
+      val pairs = ws.map { w =>
+        if (rng.nextDouble() < 0.15) corrupt(w, rng, lex).map((w, _)).getOrElse((w, w))
+        else (w, w)
+      }
+      (pairs.map(_._1).mkString(" "), pairs.map(_._2).mkString(" "))
+    }
+
+    val nLines = 3 + rng.nextInt(5)
+    val lines = Seq.fill(nLines)(line(4 + rng.nextInt(7)))
+    val (titleTrue, titleCorr) = line(3)
+
+    val cap = (s: String) => if (s.isEmpty) s else s.head.toUpper + s.tail
+    val trueText = (cap(titleTrue) +: lines.map(l => cap(l._1))).mkString("\n")
+
+    val paras = lines.zipWithIndex.map { case ((_, corr), j) =>
+      val sep = if (j == nLines / 2) "<hr/>\n" else ""
+      s"$sep<p>${cap(corr)}</p>"
+    }.mkString("\n")
+    val html =
+      s"""<!DOCTYPE html>
+         |<html><head><title>doc $i</title><style>p{margin:0}</style></head>
+         |<body>
+         |<header><nav><a href="/">Home</a> <a href="/about">About</a> <a href="/more">More links here</a></nav></header>
+         |<h1>${cap(titleCorr)}</h1>
+         |$paras
+         |<img src="/img$i.png"/>
+         |<footer><a href="/imprint">Imprint</a> &copy; host$host</footer>
+         |</body></html>
+         |""".stripMargin
+
+    val ts = new Timestamp((Epoch + i * 3600000000L) / 1000L)
+    // the upstream `text` hint column deliberately disagrees with html
+    // (it keeps the corrupted form and joins lines with spaces)
+    val hint = (titleCorr +: lines.map(_._2)).mkString(" ")
+    TruePage(PageRow(url, ts, html.getBytes("UTF-8"), hint, lang), trueText)
+  }
+
+  def pages(n: Int, seed: Long = 42L): Seq[TruePage] =
+    (0L until n.toLong).map(page(_, seed))
+}

@@ -1,0 +1,117 @@
+package graft.pipeline
+
+import graft.core._
+import graft.fixtures.PagesGen
+import org.apache.spark.sql.{Dataset, SparkSession}
+
+/** The end-to-end extraction + post-correction pipeline — the Spark
+  * restatement of the reference's processor chain (SURVEY.md §3):
+  *
+  *   Stage A  segment   : html BINARY -> blocks (binarize+segment roles)
+  *   Stage B  extract   : k candidate extractors -> per-line variants
+  *                        (the nOCR=2 arity of recognize.py, config.json:8)
+  *   Stage C  align     : multi-sequence alignment with TextEquiv
+  *                        index/provenance rules (align/cli.py:82-172)
+  *   Stage D  correct   : profiler candidates + RR rank + DM decide
+  *                        (postcorrect/cli.py:31-46, config.json)
+  *
+  * Scale design: A–D are a single shuffle-free narrow `map` chain — each
+  * page's k variants derive from the same `html` row (unlike the reference,
+  * where k OCR engines are separate processes), so no union+groupBy(url) is
+  * needed and the whole pipeline is one whole-stage pass over the scan.
+  * The only shuffles in the engine are the final metric rollups.
+  */
+object Pipeline {
+
+  /** Candidate extractor k — the role of the k OCR engines
+    * (ocropy/recognize.py:119-303). Extractor 0 is the master; extractor 1
+    * is a deliberately different reading (its systematic confusions feed the
+    * MatchingOCRTokens/CandidateMatchingOCRs features).
+    */
+  final case class Extractor(name: String, conf: Double, transform: String => String)
+
+  val extractors: Seq[Extractor] = Seq(
+    Extractor("x-master", 0.9, identity),
+    Extractor("x-alt", 0.8, s => s.replace("rn", "m").replace("c", "e"))
+  )
+
+  // ---- Stage A: segmentation ----
+
+  def segmentPage(p: PageRow): SegmentedPage =
+    SegmentedPage(p.url, p.lang, HtmlBlocks.segment(p.html))
+
+  def segment(pages: Dataset[PageRow]): Dataset[SegmentedPage] = {
+    import pages.sparkSession.implicits._
+    pages.map(segmentPage)
+  }
+
+  // ---- Stage B+C: variants + alignment (row-local) ----
+
+  def alignPage(sp: SegmentedPage): AlignedPage = {
+    val lines = sp.blocks.filter(_.kind == "text").map { b =>
+      val versions = extractors.map { ex =>
+        MultiAlign.LineVersion(ex.name, b.id, TextNorm.normalize(ex.transform(b.text)), ex.conf)
+      }
+      MultiAlign.alignLine(versions, b.span)
+    }
+    AlignedPage(sp.url, sp.lang, lines)
+  }
+
+  def align(seg: Dataset[SegmentedPage]): Dataset[AlignedPage] = {
+    import seg.sparkSession.implicits._
+    seg.map(alignPage)
+  }
+
+  // ---- Stage D: correction ----
+
+  def correctPage(ap: AlignedPage, lexDe: Lexicon, lexEn: Lexicon): CorrectedPage = {
+    val lex = if (ap.lang == "de") lexDe else lexEn
+    var total = 0
+    val corrected = ap.lines.map { line =>
+      val master = line.variants.head.text
+      val tokens = master.split(" ", -1).toIndexedSeq
+      // per-token view of what the other extractors saw, via the aligned
+      // word variants when available
+      val otherByIdx: Map[Int, Seq[String]] =
+        line.words.zipWithIndex.map { case (w, i) => i -> w.variants.tail.map(_.text) }.toMap
+      var n = 0
+      val out = tokens.zipWithIndex.map { case (tok, i) =>
+        val ctx = otherByIdx.getOrElse(i, Nil)
+        val linePos = if (tokens.length <= 1) 0.0 else i.toDouble / (tokens.length - 1)
+        val (fixed, changed) =
+          Corrector.correctToken(tok, ctx, line.variants.head.conf, linePos, lex)
+        if (changed) n += 1
+        fixed
+      }
+      total += n
+      CorrectedLine(line.lineId, line.span, out.mkString(" "), n)
+    }
+    CorrectedPage(ap.url, ap.lang, corrected.map(_.text).mkString("\n"), corrected, total)
+  }
+
+  def correct(aligned: Dataset[AlignedPage]): Dataset[CorrectedPage] = {
+    val spark = aligned.sparkSession
+    import spark.implicits._
+    // broadcast the lexicons once (the reference loads its model once per
+    // process, recognize.py:94-102)
+    val bde = spark.sparkContext.broadcast(PagesGen.lexiconFor("de"))
+    val ben = spark.sparkContext.broadcast(PagesGen.lexiconFor("en"))
+    aligned.map(ap => correctPage(ap, bde.value, ben.value))
+  }
+
+  /** Full pipeline: one narrow map chain, zero shuffles. */
+  def run(pages: Dataset[PageRow]): Dataset[CorrectedPage] =
+    correct(align(segment(pages)))
+
+  /** Generate the synthetic corpus as a distributed Dataset (each row is a
+    * pure function of its index — no driver-side materialization).
+    */
+  def generate(spark: SparkSession, n: Long, seed: Long = 42L, partitions: Int = 0): Dataset[PageRow] = {
+    import spark.implicits._
+    val parts = if (partitions > 0) partitions else spark.sparkContext.defaultParallelism
+    spark.range(0L, n, 1L, parts).map(i => PagesGen.page(i, seed).row)
+  }
+
+  /** Golden truth for a generated corpus (test/metric side). */
+  def goldenText(i: Long, seed: Long = 42L): String = PagesGen.page(i, seed).trueText
+}

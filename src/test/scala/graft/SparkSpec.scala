@@ -1,0 +1,97 @@
+package graft
+
+import graft.core._
+import graft.fixtures.PagesGen
+import graft.pipeline.Pipeline
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalatest.BeforeAndAfterAll
+
+object SparkTestSession {
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .appName("graft-test")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+}
+
+/** End-to-end pipeline tests — the Spark restatement of the reference's
+  * 3-page golden-workspace smoke tests (tests/run_alignment_test.bash:6-36)
+  * plus the byte-identical per-url invariant (BASELINE.json input_hint).
+  */
+class PipelineSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  lazy val spark: SparkSession = SparkTestSession.spark
+
+  test("generator is deterministic and index-pure") {
+    val a = PagesGen.page(7L)
+    val b = PagesGen.page(7L)
+    assert(a.row.url == b.row.url)
+    assert(java.util.Arrays.equals(a.row.html, b.row.html))
+    assert(a.trueText == b.trueText)
+  }
+
+  test("3-page smoke: every stage emits one row per page") {
+    import spark.implicits._
+    val pages = Pipeline.generate(spark, 3)
+    val seg = Pipeline.segment(pages).cache()
+    assert(seg.count() == 3)
+    val aligned = Pipeline.align(seg)
+    assert(aligned.count() == 3)
+    val corrected = Pipeline.correct(aligned)
+    assert(corrected.count() == 3)
+    // every page has text blocks, boilerplate was stripped
+    val s = seg.collect()
+    assert(s.forall(_.blocks.exists(_.kind == "text")))
+    assert(s.forall(_.blocks.exists(_.kind == "boilerplate")))
+    seg.unpersist()
+  }
+
+  test("e2e byte-identical: corrected text equals golden truth per url") {
+    import spark.implicits._
+    val n = 50
+    val corrected = Pipeline.run(Pipeline.generate(spark, n)).collect()
+      .map(c => c.url -> c.text).toMap
+    assert(corrected.size == n)
+    var mismatches = List.empty[String]
+    (0 until n).foreach { i =>
+      val tp = PagesGen.page(i.toLong)
+      val got = corrected(tp.row.url)
+      if (got != tp.trueText)
+        mismatches ::= s"url=${tp.row.url}\n--- got ---\n$got\n--- want ---\n${tp.trueText}"
+    }
+    assert(mismatches.isEmpty,
+      s"${mismatches.length}/$n pages differ; first:\n${mismatches.headOption.getOrElse("")}")
+  }
+
+  test("alignment variants carry reference provenance tags") {
+    import spark.implicits._
+    val aligned = Pipeline.align(Pipeline.segment(Pipeline.generate(spark, 2))).collect()
+    val line = aligned.head.lines.head
+    assert(line.variants.map(_.index) == Seq(1, 2))
+    assert(line.variants.head.source.startsWith("ocrd-cis-line-alignment-master-ocr:x-master/"))
+    assert(line.variants(1).source.startsWith("ocrd-cis-line-alignment:x-alt/"))
+  }
+
+  test("char-span lineage: block spans slice the original html bytes") {
+    import spark.implicits._
+    val rows = Pipeline.generate(spark, 5).collect()
+    rows.foreach { p =>
+      val blocks = HtmlBlocks.segment(p.html)
+      blocks.filter(_.kind == "text").foreach { b =>
+        val raw = new String(p.html, b.span.start.toInt,
+          (b.span.stop - b.span.start).toInt, "UTF-8")
+        assert(TextNorm.normalize(raw) == b.text,
+          s"span lineage broken for ${p.url} block ${b.id}")
+      }
+    }
+  }
+
+  test("pipeline plan is shuffle-free (no Exchange in physical plan)") {
+    val corrected = Pipeline.run(Pipeline.generate(spark, 10))
+    val plan = corrected.queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), s"unexpected shuffle:\n$plan")
+  }
+}

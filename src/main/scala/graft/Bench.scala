@@ -1,24 +1,52 @@
 package graft
+
+import graft.pipeline.Pipeline
 import org.apache.spark.sql.SparkSession
+
+/** Benchmark main. Headline metric = end-to-end pipeline throughput
+  * (documents/sec extracted + corrected, the BASELINE.json metric) over the
+  * deterministic synthetic Pages corpus, plus per-query wall times for every
+  * SparkEntry operator over the sf dir.
+  *
+  * Parallelism comes from SPARK_GRAFT_CPUS (default 32, the driver's
+  * local[32] contract); the two-cluster-size scaling evidence
+  * (north rule: eff = (docs/s@32 / docs/s@8) / 4 >= 0.8) is produced by
+  * running this main at CPUS=8 and CPUS=32 on the same input — see
+  * tools/bench_scaling.sh and BENCH/BASELINE.md.
+  */
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val nDocs = sys.env.getOrElse("SPARK_GRAFT_BENCH_DOCS", "40000").toLong
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    val results = SparkEntry.queries.map { case (name, fn) =>
-      val t0 = System.nanoTime()
+
+    // ---- headline: e2e extract+correct docs/sec ----
+    // warmup (JIT + codegen) on a small slice, then the timed run
+    Pipeline.run(Pipeline.generate(spark, 500, partitions = cpus.toInt)).count()
+    val t0 = System.nanoTime()
+    val done = Pipeline.run(Pipeline.generate(spark, nDocs, partitions = cpus.toInt * 4)).count()
+    val pipelineSec = (System.nanoTime() - t0) / 1e9
+    val docsPerSec = done / pipelineSec
+
+    // ---- per-operator query timings over the sf dir ----
+    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+      val t = System.nanoTime()
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      name -> (System.nanoTime() - t0) / 1e9
+      name -> (System.nanoTime() - t) / 1e9
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+    val qs = (results :+ ("pipeline_e2e" -> pipelineSec))
+      .map { case (k, v) => "\"" + k + f"\":$v%.3f" }
       .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val total = results.map(_._2).sum + pipelineSec
+    println(
+      f"""{"metric":"docs_per_sec_extract_correct","value":$docsPerSec%.1f,"unit":"docs/sec","total_sec":$total%.2f,"pipeline_docs":$done,"pipeline_sec":$pipelineSec%.3f,"cpus":$cpus,"queries":$qs,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -168,11 +168,16 @@ object SparkEntry {
 
     // ---- §2.6 set operations ----
 
+    // label set difference (setdiff1d, ocropy/common.py:1107-1110):
+    // shingles unique to the held-out doc subset
     "q08_set_except" -> ((s, dir) => {
-      val p = t(s, dir, "part"); val l = t(s, dir, "lineitem")
-      val used = p.join(l, p("p_partkey") === l("l_partkey")).select(col("p_type")).distinct()
-      val big = p.filter(col("p_size") > 25).select(col("p_type")).distinct()
-      used.except(big).orderBy(col("p_type"))
+      val sh = t(s, dir, "documents").select(col("doc_id"),
+        explode(expr(
+          "transform(sequence(1, greatest(length(text) - 11, 1), 7), i -> substring(text, i, 12))"
+        )).as("sh"))
+      val a = sh.filter(col("doc_id") % 10 === 0).select(col("sh")).distinct()
+      val b = sh.filter(col("doc_id") % 10 =!= 0).select(col("sh")).distinct()
+      a.except(b).orderBy(col("sh"))
     }),
 
     // ---- §2.7 scalar functions ----
@@ -271,6 +276,174 @@ object SparkEntry {
         .orderBy(col("id1"), col("id2"))
     }),
 
+    // MinHash + LSH near-dup (shingle -> minhash -> band -> bucket-join).
+    // H=8 md5 min-hashes as conditional min aggregates (map-side
+    // combinable, no j-explode); B=4 bands of R=2 rows; candidate pairs =
+    // docs sharing any band key. The band join is the linear-scale path:
+    // at 10^12 rows it replaces the O(n^2) shingle self-join of q16.
+    "q18_minhash_lsh" -> ((s, dir) => {
+      def md5s(c: Column): Column = md5(to_binary(c, lit("utf-8")))
+      val shingles = t(s, dir, "documents").select(col("doc_id"),
+        explode(expr(
+          "transform(sequence(1, greatest(length(text) - 11, 1), 7), i -> substring(text, i, 12))"
+        )).as("sh"))
+      def h(j: Int) = min(md5s(concat(lit(j + ":"), col("sh")))).as(s"h$j")
+      val sig = shingles.groupBy(col("doc_id"))
+        .agg(h(0), h(1), h(2), h(3), h(4), h(5), h(6), h(7))
+      val banded = sig.select(col("doc_id"), posexplode(array(
+        md5s(concat(col("h0"), col("h1"))), md5s(concat(col("h2"), col("h3"))),
+        md5s(concat(col("h4"), col("h5"))), md5s(concat(col("h6"), col("h7")))
+      ))).toDF("doc_id", "band", "key")
+      val a = banded.select(col("band"), col("key"), col("doc_id").as("id1"))
+      val b = banded.select(col("band"), col("key"), col("doc_id").as("id2"))
+      a.join(b, Seq("band", "key")).filter(col("id1") < col("id2"))
+        .select(col("id1"), col("id2")).distinct()
+        .orderBy(col("id1"), col("id2"))
+    }),
+
+    // SimHash document signatures: 32-bit sketch from the per-nibble high
+    // bit of each token's md5, majority-voted across tokens. Shuffle-free
+    // except one hash-agg on doc_id (map-side partials).
+    "q19_simhash" -> ((s, dir) => {
+      def md5s(c: Column): Column = md5(to_binary(c, lit("utf-8")))
+      val hashed = t(s, dir, "documents")
+        .select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
+        .filter(length(col("tok")) > 0)
+        .select(col("doc_id"), md5s(col("tok")).as("h"))
+      def bit(k: Int): Column =
+        when(sum(when(substring(col("h"), k, 1) >= "8", 1).otherwise(-1)) >= 0,
+          "1").otherwise("0")
+      hashed.groupBy(col("doc_id"))
+        .agg(concat((1 to 32).map(bit): _*).as("simhash"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // brute-force cosine top-k ANN over the embeddings table: the exact
+    // baseline. Query side (vec_id < 5) is broadcast; similarity in double
+    // precision via zip_with + aggregate fold; output ranks only (floats
+    // stay internal), rank on round(cos,3) with vec_id tiebreak.
+    "q20_ann_topk" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings").select(col("vec_id"),
+        expr("transform(embedding, x -> cast(x as double))").as("v"))
+      val q = emb.filter(col("vec_id") < 5)
+        .select(col("vec_id").as("qid"), col("v").as("qv"))
+      val dot = expr("aggregate(zip_with(qv, v, (x, y) -> x * y), cast(0 as double), (acc, x) -> acc + x)")
+      val nq = sqrt(expr("aggregate(transform(qv, x -> x * x), cast(0 as double), (acc, x) -> acc + x)"))
+      val nv = sqrt(expr("aggregate(transform(v, x -> x * x), cast(0 as double), (acc, x) -> acc + x)"))
+      val w = Window.partitionBy(col("qid"))
+        .orderBy(col("cos_r").desc, col("vec_id").asc)
+      broadcast(q).join(emb, col("vec_id") =!= col("qid"))
+        .withColumn("cos_r", round(dot / (nq * nv), 3))
+        .withColumn("rnk", row_number().over(w))
+        .filter(col("rnk") <= 3)
+        .select(col("qid"), col("vec_id"), col("rnk"))
+        .orderBy(col("qid"), col("rnk"))
+    }),
+
+    // LSH-bucketed ANN (the scale path): sign-of-coordinate hyperplane
+    // bucket on dims 1-4, cosine only within buckets — the bucket equi-join
+    // replaces the all-pairs cross join at 10^12 rows.
+    "q21_ann_lsh" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings").select(col("vec_id"),
+        expr("transform(embedding, x -> cast(x as double))").as("v"))
+        .withColumn("b", concat((1 to 4).map(i =>
+          when(element_at(col("v"), i) >= 0, "1").otherwise("0")): _*))
+      val a = emb.select(col("b"), col("vec_id").as("id1"), col("v").as("v1"))
+      val c = emb.select(col("b"), col("vec_id").as("id2"), col("v").as("v2"))
+      val dot = expr("aggregate(zip_with(v1, v2, (x, y) -> x * y), cast(0 as double), (acc, x) -> acc + x)")
+      val n1 = sqrt(expr("aggregate(transform(v1, x -> x * x), cast(0 as double), (acc, x) -> acc + x)"))
+      val n2 = sqrt(expr("aggregate(transform(v2, x -> x * x), cast(0 as double), (acc, x) -> acc + x)"))
+      a.join(c, Seq("b")).filter(col("id1") < col("id2"))
+        .withColumn("cos_r", round(dot / (n1 * n2), 3))
+        .filter(col("cos_r") >= 0.35)
+        .select(col("id1"), col("id2"))
+        .orderBy(col("id1"), col("id2"))
+    }),
+
+    // document fingerprinting: rolling 8-gram hash, winnowing-style
+    // selection of grams whose md5 starts with '0' (1/16 sampling) —
+    // content-defined, shift-robust fingerprints.
+    "q22_fingerprint" -> ((s, dir) => {
+      def md5s(c: Column): Column = md5(to_binary(c, lit("utf-8")))
+      t(s, dir, "documents").select(col("doc_id"),
+        explode(expr(
+          "transform(sequence(1, greatest(length(text) - 7, 1)), i -> substring(text, i, 8))"
+        )).as("g"))
+        .select(col("doc_id"), md5s(col("g")).as("h"))
+        .filter(col("h").startsWith("0"))
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_fp"), min(col("h")).as("min_fp"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // BPE-ish regex token counting (letters | digits | single symbol)
+    "q24_bpe_tokens" -> ((s, dir) => {
+      t(s, dir, "documents").select(col("doc_id"),
+        size(regexp_extract_all(col("text"),
+          lit("[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]"), lit(0))).cast("long").as("n_bpe"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // anti-join "ignore mask" (segment.py:248-263 role): keys absent from
+    // the other side, as a left_anti join
+    "q25_anti_join" -> ((s, dir) => {
+      val o = t(s, dir, "orders"); val l = t(s, dir, "lineitem")
+      o.join(l, o("o_orderkey") === l("l_orderkey"), "left_anti")
+        .select(col("o_orderkey")).orderBy(col("o_orderkey"))
+    }),
+
+    // GT-index discovery (div/stats.py:20-29): first array element matching
+    // a provenance predicate, via higher-order filter
+    "q29_first_match" -> ((s, dir) => {
+      t(s, dir, "documents").select(col("doc_id"),
+        expr("try_element_at(filter(split(text, ' '), x -> x like 'a%'), 1)")
+          .as("first_a"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // word-recall membership counting (div/eval.py:183-205): distinct
+    // GT tokens found in the prediction token set
+    "q30_word_recall" -> ((s, dir) => {
+      t(s, dir, "documents").select(col("doc_id"),
+        explode(split(substring(col("text"), 1, 200), " ")).as("tok"),
+        split(substring(col("text"), 201, 100000), " ").as("pred"))
+        .filter(length(col("tok")) > 2 && array_contains(col("pred"), col("tok")))
+        .groupBy(col("doc_id"))
+        .agg(countDistinct(col("tok")).as("recalled"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // char-trigram LM min/max frequency features
+    // (Max/MinCharNGramsFeature, config.json rrFeatures): corpus trigram
+    // counts broadcast back onto each doc's trigrams
+    "q33_trigram_freq" -> ((s, dir) => {
+      val tri = t(s, dir, "documents").select(col("doc_id"),
+        explode(expr(
+          "transform(sequence(1, greatest(length(text) - 2, 1)), i -> substring(text, i, 3))"
+        )).as("g"))
+      val freq = tri.groupBy(col("g")).agg(count(lit(1)).as("f"))
+      tri.join(broadcast(freq), Seq("g"))
+        .groupBy(col("doc_id"))
+        .agg(min(col("f")).as("min_f"), max(col("f")).as("max_f"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // positional join (align/cli.py:63-79 role): i-th token of variant A vs
+    // i-th token of variant B, joined on (doc_id, pos)
+    "q34_pos_join" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val a = docs.select(col("doc_id"),
+        posexplode(split(col("text"), " "))).toDF("doc_id", "pos", "tok_a")
+      val b = docs.select(col("doc_id"),
+        posexplode(split(regexp_replace(col("text"), "a", "o"), " ")))
+        .toDF("doc_id", "pos", "tok_b")
+      a.join(b, Seq("doc_id", "pos"))
+        .filter(col("tok_a") =!= col("tok_b"))
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_mismatch"))
+        .orderBy(col("doc_id"))
+    }),
+
     // ---- pipeline operators (synthetic Pages corpus; non-SQL-expressible,
     //      omitted from oracleSql per the harness contract) ----
 
@@ -305,6 +478,38 @@ object SparkEntry {
       Pipeline.run(Pipeline.generate(s, 100))
         .map(c => (c.url, c.lang, c.text, c.nCorrections))
         .toDF("url", "lang", "corrected_text", "n_corrections")
+        .orderBy(col("url"))
+    }),
+
+    // multimodal plumbing: opaque binary payload -> typed metadata struct
+    // (decode stubbed deterministically; schema/batching real)
+    "p07_media_meta" -> ((s, _) => {
+      import s.implicits._
+      graft.operators.Multimodal.decodeMeta(graft.operators.Multimodal.fromPages(s, 100))
+        .toDF()
+        .select(col("url"), col("mediaType"), col("nBytes"), col("checksum"),
+          col("width"), col("height"), col("durationMs"))
+        .orderBy(col("url"))
+    }),
+
+    // multimodal frame sampling with byte-span lineage
+    "p08_frame_sample" -> ((s, _) => {
+      import s.implicits._
+      graft.operators.Multimodal.frameSample(
+        graft.operators.Multimodal.fromPages(s, 100), k = 4)
+        .map(f => (f.url, f.frameIdx, f.span.start, f.span.stop))
+        .toDF("url", "frame_idx", "span_start", "span_stop")
+        .orderBy(col("url"), col("frame_idx"))
+    }),
+
+    // multimodal feature extraction (fixed-dim deterministic vectors)
+    "p09_media_features" -> ((s, _) => {
+      import s.implicits._
+      graft.operators.Multimodal.extractFeatures(
+        graft.operators.Multimodal.fromPages(s, 100))
+        .map(f => (f.url, f.features.length,
+          math.round(f.features.map(x => x.toDouble * x).sum * 1000.0)))
+        .toDF("url", "dim", "sq_norm_x1000")
         .orderBy(col("url"))
     }),
 
@@ -392,9 +597,14 @@ object SparkEntry {
         |    ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS wmax
         |FROM events ORDER BY user_id, event_id""".stripMargin,
     "q08_set_except" ->
-      """SELECT DISTINCT p_type FROM part JOIN lineitem ON p_partkey = l_partkey
-        |EXCEPT SELECT p_type FROM part WHERE p_size > 25
-        |ORDER BY p_type""".stripMargin,
+      """WITH sh AS (
+        |  SELECT doc_id, substr(text, CAST(u AS INT), 12) AS sh
+        |  FROM (SELECT doc_id, text,
+        |          unnest(range(1, greatest(length(text) - 11, 1) + 1, 7)) AS u
+        |        FROM documents))
+        |SELECT DISTINCT sh FROM sh WHERE doc_id % 10 = 0
+        |EXCEPT SELECT DISTINCT sh FROM sh WHERE doc_id % 10 <> 0
+        |ORDER BY sh""".stripMargin,
     "q12_lev_matrix" ->
       """SELECT n_name, r_name, levenshtein(n_name, r_name) AS lev
         |FROM nation CROSS JOIN region ORDER BY n_name, r_name""".stripMargin,
@@ -428,6 +638,118 @@ object SparkEntry {
         |    min(doc_id) AS keeper, count(*) AS n_dups
         |  FROM documents GROUP BY fp)
         |SELECT n_dups, count(*) AS n_groups FROM fps GROUP BY n_dups ORDER BY n_dups""".stripMargin,
+    "q18_minhash_lsh" ->
+      """WITH shingles AS (
+        |  SELECT doc_id, substr(text, CAST(u AS INT), 12) AS sh
+        |  FROM (SELECT doc_id, text,
+        |          unnest(range(1, greatest(length(text) - 11, 1) + 1, 7)) AS u
+        |        FROM documents)),
+        |sig AS (
+        |  SELECT doc_id,
+        |    min(md5('0:' || sh)) AS h0, min(md5('1:' || sh)) AS h1,
+        |    min(md5('2:' || sh)) AS h2, min(md5('3:' || sh)) AS h3,
+        |    min(md5('4:' || sh)) AS h4, min(md5('5:' || sh)) AS h5,
+        |    min(md5('6:' || sh)) AS h6, min(md5('7:' || sh)) AS h7
+        |  FROM shingles GROUP BY doc_id),
+        |banded AS (
+        |  SELECT doc_id, 0 AS band, md5(h0 || h1) AS key FROM sig
+        |  UNION ALL SELECT doc_id, 1, md5(h2 || h3) FROM sig
+        |  UNION ALL SELECT doc_id, 2, md5(h4 || h5) FROM sig
+        |  UNION ALL SELECT doc_id, 3, md5(h6 || h7) FROM sig)
+        |SELECT DISTINCT a.doc_id AS id1, b.doc_id AS id2
+        |FROM banded a JOIN banded b
+        |  ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id
+        |ORDER BY id1, id2""".stripMargin,
+    "q19_simhash" -> {
+      val bits = (1 to 32).map(k =>
+        s"CASE WHEN sum(CASE WHEN substr(h,$k,1) >= '8' THEN 1 ELSE -1 END) >= 0 THEN '1' ELSE '0' END"
+      ).mkString(" || ")
+      s"""WITH toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents),
+         |hashed AS (SELECT doc_id, md5(tok) AS h FROM toks WHERE length(tok) > 0)
+         |SELECT doc_id, $bits AS simhash FROM hashed GROUP BY doc_id ORDER BY doc_id""".stripMargin
+    },
+    "q20_ann_topk" ->
+      """WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
+        |q AS (SELECT vec_id AS qid, v AS qv FROM e WHERE vec_id < 5),
+        |pairs AS (
+        |  SELECT qid, vec_id, round(
+        |    list_sum(list_transform(range(1, 65), i -> qv[CAST(i AS INT)] * v[CAST(i AS INT)])) /
+        |    (sqrt(list_sum(list_transform(qv, x -> x * x))) *
+        |     sqrt(list_sum(list_transform(v, x -> x * x)))), 3) AS cos_r
+        |  FROM q, e WHERE vec_id <> qid)
+        |SELECT qid, vec_id, rnk FROM (
+        |  SELECT qid, vec_id,
+        |    row_number() OVER (PARTITION BY qid ORDER BY cos_r DESC, vec_id ASC) AS rnk
+        |  FROM pairs) t
+        |WHERE rnk <= 3 ORDER BY qid, rnk""".stripMargin,
+    "q21_ann_lsh" ->
+      """WITH e AS (
+        |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v,
+        |    concat(CASE WHEN embedding[1] >= 0 THEN '1' ELSE '0' END,
+        |           CASE WHEN embedding[2] >= 0 THEN '1' ELSE '0' END,
+        |           CASE WHEN embedding[3] >= 0 THEN '1' ELSE '0' END,
+        |           CASE WHEN embedding[4] >= 0 THEN '1' ELSE '0' END) AS b
+        |  FROM embeddings)
+        |SELECT a.vec_id AS id1, c.vec_id AS id2
+        |FROM e a JOIN e c ON a.b = c.b AND a.vec_id < c.vec_id
+        |WHERE round(
+        |    list_sum(list_transform(range(1, 65), i -> a.v[CAST(i AS INT)] * c.v[CAST(i AS INT)])) /
+        |    (sqrt(list_sum(list_transform(a.v, x -> x * x))) *
+        |     sqrt(list_sum(list_transform(c.v, x -> x * x)))), 3) >= 0.35
+        |ORDER BY id1, id2""".stripMargin,
+    "q22_fingerprint" ->
+      """WITH grams AS (
+        |  SELECT doc_id, md5(substr(text, CAST(u AS INT), 8)) AS h
+        |  FROM (SELECT doc_id, text,
+        |          unnest(range(1, greatest(length(text) - 7, 1) + 1)) AS u
+        |        FROM documents))
+        |SELECT doc_id, count(*) AS n_fp, min(h) AS min_fp
+        |FROM grams WHERE h LIKE '0%' GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    "q24_bpe_tokens" ->
+      """SELECT doc_id,
+        |  CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]')) AS BIGINT) AS n_bpe
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "q25_anti_join" ->
+      """SELECT o_orderkey FROM orders
+        |WHERE o_orderkey NOT IN (SELECT l_orderkey FROM lineitem)
+        |ORDER BY o_orderkey""".stripMargin,
+    "q29_first_match" ->
+      """SELECT doc_id,
+        |  list_filter(string_split(text, ' '), x -> x LIKE 'a%')[1] AS first_a
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "q30_word_recall" ->
+      """WITH h AS (SELECT doc_id,
+        |    string_split(substr(text, 1, 200), ' ') AS gt,
+        |    string_split(substr(text, 201, 100000), ' ') AS pred
+        |  FROM documents),
+        |e AS (SELECT doc_id, unnest(gt) AS tok, pred FROM h)
+        |SELECT doc_id, count(DISTINCT tok) AS recalled
+        |FROM e WHERE length(tok) > 2 AND list_contains(pred, tok)
+        |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    "q33_trigram_freq" ->
+      """WITH tri AS (
+        |  SELECT doc_id, substr(text, CAST(u AS INT), 3) AS g
+        |  FROM (SELECT doc_id, text,
+        |          unnest(range(1, greatest(length(text) - 2, 1) + 1)) AS u
+        |        FROM documents)),
+        |freq AS (SELECT g, count(*) AS f FROM tri GROUP BY g)
+        |SELECT doc_id, min(f) AS min_f, max(f) AS max_f
+        |FROM tri JOIN freq USING (g) GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    "q34_pos_join" ->
+      """WITH a AS (
+        |  SELECT doc_id, i AS pos, string_split(text, ' ')[CAST(i AS INT)] AS tok_a
+        |  FROM (SELECT doc_id, text,
+        |          unnest(range(1, len(string_split(text, ' ')) + 1)) AS i
+        |        FROM documents)),
+        |b AS (
+        |  SELECT doc_id, i AS pos,
+        |    string_split(replace(text, 'a', 'o'), ' ')[CAST(i AS INT)] AS tok_b
+        |  FROM (SELECT doc_id, text,
+        |          unnest(range(1, len(string_split(replace(text, 'a', 'o'), ' ')) + 1)) AS i
+        |        FROM documents))
+        |SELECT a.doc_id, count(*) AS n_mismatch
+        |FROM a JOIN b ON a.doc_id = b.doc_id AND a.pos = b.pos
+        |WHERE tok_a <> tok_b GROUP BY a.doc_id ORDER BY a.doc_id""".stripMargin,
     "q16_shingle_jaccard" ->
       """WITH shingles AS (
         |  SELECT DISTINCT doc_id, substr(text, CAST(u AS INT), 12) AS sh

@@ -1,0 +1,102 @@
+package graft
+
+import graft.plans.Checkpoint
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import java.nio.file.{Files, Path, Paths}
+import java.util.Comparator
+
+/** Resume semantics (north rule "resumable from checkpoint with
+  * per-partition lineage + metrics"): the Spark restatement of the
+  * reference's skip-if-output-exists memoization
+  * (ocrd_cis/aio/aio.py:269-271,296-298,385-387), at bucket granularity.
+  */
+class CheckpointSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = SparkTestSession.spark
+
+  private def tmpRoot(): String = {
+    val p = Files.createTempDirectory("graft-ckpt")
+    p.toString
+  }
+
+  private def rmTree(p: Path): Unit =
+    if (Files.exists(p))
+      Files.walk(p).sorted(Comparator.reverseOrder[Path]()).forEach(f => Files.delete(f))
+
+  private def input() = {
+    import spark.implicits._
+    spark.range(0, 200).select(
+      concat(lit("https://h"), col("id") % 13, lit(".test/p"), col("id")).as("url"),
+      (col("id") * 7 % 101).as("v"))
+  }
+
+  test("first run processes all buckets and ledgers them with row counts") {
+    val root = tmpRoot()
+    val res = Checkpoint.runStage(spark, "stageA", root, input(), "url", 8)(
+      df => df.withColumn("doubled", col("v") * 2))
+    assert(res.processedBuckets.sorted == (0 until 8))
+    assert(res.skippedBuckets.isEmpty)
+    assert(res.ledger.map(_.rows).sum == 200L)
+    assert(res.output.count() == 200L)
+    assert(res.output.columns.contains("doubled"))
+    rmTree(Paths.get(root))
+  }
+
+  test("rerun after completion does zero work") {
+    val root = tmpRoot()
+    Checkpoint.runStage(spark, "s", root, input(), "url", 8)(identity)
+    var called = false
+    val res2 = Checkpoint.runStage(spark, "s", root, input(), "url", 8) { df =>
+      called = true; df
+    }
+    assert(res2.processedBuckets.isEmpty)
+    assert(res2.skippedBuckets.sorted == (0 until 8))
+    // the transform closure may be invoked to build the plan, but no new
+    // ledger entries appear and output is unchanged
+    assert(res2.ledger.size == 8)
+    assert(res2.output.count() == 200L)
+    rmTree(Paths.get(root))
+  }
+
+  test("kill-and-resume: half the ledger deleted -> only those buckets rerun, bytes identical") {
+    val root1 = tmpRoot(); val root2 = tmpRoot()
+    def xform(df: org.apache.spark.sql.DataFrame) =
+      df.withColumn("out", concat(col("url"), lit("#"), col("v")))
+
+    // uninterrupted golden run
+    val golden = Checkpoint.runStage(spark, "s", root1, input(), "url", 8)(xform)
+      .output.select("url", "out").collect().map(_.toString).sorted.toSeq
+
+    // run, then simulate a crash that lost buckets 0-3's commits
+    Checkpoint.runStage(spark, "s", root2, input(), "url", 8)(xform)
+    val lp = Paths.get(s"$root2/s/_ledger.jsonl")
+    val kept = Files.readAllLines(lp)
+    val survivors = new java.util.ArrayList[String]()
+    kept.forEach(l => if (!(0 to 3).exists(b => l.contains(s"\"bucket\":$b,"))) survivors.add(l))
+    Files.write(lp, survivors)
+
+    val resumed = Checkpoint.runStage(spark, "s", root2, input(), "url", 8)(xform)
+    assert(resumed.processedBuckets.sorted == (0 to 3))
+    assert(resumed.skippedBuckets.sorted == (4 to 7))
+    val after = resumed.output.select("url", "out").collect().map(_.toString).sorted.toSeq
+    assert(after == golden, "resumed output differs from uninterrupted run")
+    assert(resumed.output.count() == 200L, "duplicate rows after resume")
+    rmTree(Paths.get(root1)); rmTree(Paths.get(root2))
+  }
+
+  test("ledger is valid jsonl with lineage + throughput fields") {
+    val root = tmpRoot()
+    val res = Checkpoint.runStage(spark, "s", root, input(), "url", 4)(identity)
+    res.ledger.foreach { e =>
+      assert(e.stage == "s")
+      assert(e.bucket >= 0 && e.bucket < 4)
+      assert(e.rows >= 0 && e.wallMs >= 0 && e.completedAtMs > 0)
+    }
+    val lines = Files.readAllLines(Paths.get(s"$root/s/_ledger.jsonl"))
+    assert(lines.size == 4)
+    lines.forEach(l => assert(l.startsWith("{") && l.endsWith("}")))
+    rmTree(Paths.get(root))
+  }
+}

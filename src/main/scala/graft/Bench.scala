@@ -36,7 +36,11 @@ object Bench {
     val docsPerSec = done / pipelineSec
 
     // ---- per-operator query timings over the sf dir ----
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+    // (skipped in pipeline-only mode, used by the scaling runs where only
+    // the headline docs/sec matters)
+    val pipelineOnly = sys.env.get("SPARK_GRAFT_PIPELINE_ONLY").contains("1")
+    val allQueries = if (pipelineOnly) Seq.empty else SparkEntry.queries.toSeq.sortBy(_._1)
+    val results = allQueries.map { case (name, fn) =>
       val t = System.nanoTime()
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
       name -> (System.nanoTime() - t) / 1e9

@@ -444,8 +444,43 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    // JSON protocol parse (align/profiler JSON, §2.7: from_json with fixed
+    // schema) over the events.props column
+    "q35_json_extract" -> ((s, dir) => {
+      t(s, dir, "events")
+        .select(col("event_id"),
+          from_json(col("props"), lit("k INT")).getField("k").as("k"))
+        .groupBy(col("k")).agg(count(lit(1)).as("cnt"))
+        .orderBy(col("k"))
+    }),
+
+    // file-group union with source tag (aio.py:253-300 role) + label
+    // cooccurrence counts (morph.py:245-261): union two tagged projections,
+    // then groupBy(src, label).count()
+    "q36_union_cooccur" -> ((s, dir) => {
+      val a = t(s, dir, "events")
+        .select(lit("events").as("src"), col("event_type").as("label"))
+      val b = t(s, dir, "documents")
+        .select(lit("docs").as("src"), col("lang").as("label"))
+      a.union(b).groupBy(col("src"), col("label"))
+        .agg(count(lit(1)).as("cnt"))
+        .orderBy(col("src"), col("label"))
+    }),
+
     // ---- pipeline operators (synthetic Pages corpus; non-SQL-expressible,
     //      omitted from oracleSql per the harness contract) ----
+
+    // resumable stage ledger (north rule): run one checkpointed stage over
+    // the synthetic corpus, return per-bucket lineage rows
+    "p10_checkpoint_ledger" -> ((s, _) => {
+      import s.implicits._
+      val root = java.nio.file.Files.createTempDirectory("graft-ledger").toString
+      val in = Pipeline.generate(s, 200)
+        .map(p => (p.url, p.lang)).toDF("url", "lang")
+      val res = graft.plans.Checkpoint.runStage(s, "segment", root, in, "url", 8)(identity)
+      res.ledger.map(e => (e.stage, e.bucket, e.rows))
+        .toDF("stage", "bucket", "rows").orderBy(col("bucket"))
+    }),
 
     "p01_segment_blocks" -> ((s, _) => {
       import s.implicits._
@@ -750,6 +785,14 @@ object SparkEntry {
         |SELECT a.doc_id, count(*) AS n_mismatch
         |FROM a JOIN b ON a.doc_id = b.doc_id AND a.pos = b.pos
         |WHERE tok_a <> tok_b GROUP BY a.doc_id ORDER BY a.doc_id""".stripMargin,
+    "q35_json_extract" ->
+      """SELECT CAST(regexp_extract(props, '[0-9]+') AS INT) AS k, count(*) AS cnt
+        |FROM events GROUP BY k ORDER BY k""".stripMargin,
+    "q36_union_cooccur" ->
+      """SELECT src, label, count(*) AS cnt FROM (
+        |  SELECT 'events' AS src, event_type AS label FROM events
+        |  UNION ALL SELECT 'docs', lang FROM documents)
+        |GROUP BY src, label ORDER BY src, label""".stripMargin,
     "q16_shingle_jaccard" ->
       """WITH shingles AS (
         |  SELECT DISTINCT doc_id, substr(text, CAST(u AS INT), 12) AS sh

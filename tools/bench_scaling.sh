@@ -13,7 +13,9 @@ mkdir -p "$OUT"
 for CPUS in 8 32; do
   echo "=== local[$CPUS] ===" >&2
   SPARK_GRAFT_CPUS=$CPUS SPARK_GRAFT_SF_DIR=$SF SPARK_GRAFT_BENCH_DOCS=$DOCS \
-    sbt -batch "runMain graft.Bench" 2>/dev/null | grep '"metric"' > "$OUT/bench_$CPUS.json"
+    SPARK_GRAFT_PIPELINE_ONLY=1 \
+    sbt -batch "runMain graft.Bench" 2>/dev/null \
+    | sed -n 's/^\(\[info\] \)\?\({"metric".*\)$/\2/p' > "$OUT/bench_$CPUS.json"
   cat "$OUT/bench_$CPUS.json"
 done
 python3 - "$OUT" <<'EOF'

@@ -56,10 +56,19 @@ object PagesGen {
     */
   val histPatterns: Seq[(String, String)] = Seq(("t", "th"))
 
-  def lexiconFor(lang: String): Lexicon = {
-    val uni = (if (lang == "de") lexiconDe else lexiconEn).toMap
+  // built once per JVM (deterministic), not per page — a per-page build
+  // churns ~200 map entries of garbage per document in the hot path
+  private lazy val cachedDe: Lexicon = {
+    val uni = lexiconDe.toMap
     Lexicon(uni, histPatterns, ocrPatterns, trigramsOf(uni))
   }
+  private lazy val cachedEn: Lexicon = {
+    val uni = lexiconEn.toMap
+    Lexicon(uni, histPatterns, ocrPatterns, trigramsOf(uni))
+  }
+
+  def lexiconFor(lang: String): Lexicon =
+    if (lang == "de") cachedDe else cachedEn
 
   /** Trigram relative frequencies derived from the lexicon itself — the
     * stand-in for the reference's shipped 3gs.csv.gz.

@@ -1,0 +1,63 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Physical-plan audits: the scale properties SURVEY.md §4 promises must be
+  * visible in the executed plan, not just intended — filter pushdown and
+  * column pruning reach the parquet scan, small dimensions broadcast, and
+  * whole-stage codegen covers the hot path.
+  */
+class PlanAuditSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = SparkTestSession.spark
+  private val sf = "/root/testdata/sf0.001"
+
+  private def plan(df: org.apache.spark.sql.DataFrame): String =
+    df.queryExecution.executedPlan.toString
+
+  test("filter + projection push down to the parquet scan") {
+    val df = spark.read.parquet(s"$sf/lineitem.parquet")
+      .filter(col("l_quantity") > 30)
+      .select(col("l_orderkey"))
+    val p = plan(df)
+    assert(p.contains("PushedFilters") && p.contains("GreaterThan(l_quantity"),
+      s"filter not pushed:\n$p")
+    // ReadSchema must carry only the two referenced columns
+    val read = p.linesIterator.find(_.contains("ReadSchema")).getOrElse("")
+    assert(read.contains("l_orderkey") && read.contains("l_quantity") &&
+      !read.contains("l_comment") && !read.contains("l_extendedprice"),
+      s"columns not pruned: $read")
+  }
+
+  test("star join broadcasts the small dimensions (no sort-merge join)") {
+    val q = SparkEntry.queries("q03_star_join")
+    val p = plan(q(spark, sf))
+    assert(p.contains("BroadcastHashJoin"), s"expected broadcast join:\n$p")
+    assert(!p.contains("SortMergeJoin"), s"unexpected SMJ for broadcast dims:\n$p")
+  }
+
+  test("minhash LSH band join is an equi-join (hash-partitionable), not a cross join") {
+    val q = SparkEntry.queries("q18_minhash_lsh")
+    val p = plan(q(spark, sf))
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"LSH band join degenerated to a product join:\n$p")
+  }
+
+  test("pipeline and scan queries run inside whole-stage codegen") {
+    val df = spark.read.parquet(s"$sf/lineitem.parquet")
+      .groupBy(col("l_returnflag")).agg(sum(col("l_quantity")))
+    df.collect() // AQE finalizes (and codegen-wraps) the plan on execution
+    val p = plan(df)
+    // codegen stages render as "*(n) Operator" in the plan string
+    assert(p.contains("WholeStageCodegen") || p.contains("*(1)"),
+      s"no whole-stage codegen span:\n$p")
+  }
+
+  test("trigram frequency join broadcasts the LM side") {
+    val q = SparkEntry.queries("q33_trigram_freq")
+    val p = plan(q(spark, sf))
+    assert(p.contains("BroadcastHashJoin"), s"trigram LM not broadcast:\n$p")
+  }
+}

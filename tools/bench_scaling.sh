@@ -10,11 +10,15 @@ DOCS="${SPARK_GRAFT_BENCH_DOCS:-40000}"
 SF="${SPARK_GRAFT_SF_DIR:-/root/testdata/sf0.1}"
 OUT="${1:-/tmp/scaling}"
 mkdir -p "$OUT"
+# Pin the JVM to exactly CPUS cores (taskset): a local[8] run on a 32-core
+# box would otherwise get 24 free cores for GC/JIT threads — help an
+# 8-executor cluster would not have — overstating small-N throughput and
+# understating scaling efficiency.
 for CPUS in 8 32; do
-  echo "=== local[$CPUS] ===" >&2
+  echo "=== local[$CPUS] pinned to cores 0-$((CPUS-1)) ===" >&2
   SPARK_GRAFT_CPUS=$CPUS SPARK_GRAFT_SF_DIR=$SF SPARK_GRAFT_BENCH_DOCS=$DOCS \
     SPARK_GRAFT_PIPELINE_ONLY=1 \
-    sbt -batch "runMain graft.Bench" 2>/dev/null \
+    taskset -c 0-$((CPUS-1)) sbt -batch "runMain graft.Bench" 2>/dev/null \
     | sed -n 's/^\(\[info\] \)\?\({"metric".*\)$/\2/p' > "$OUT/bench_$CPUS.json"
   cat "$OUT/bench_$CPUS.json"
 done

@@ -444,6 +444,29 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    // salted two-phase aggregation (skew handling, SURVEY §4.3): partial
+    // agg on (key, salt) spreads hot keys over 16 reducers, final agg
+    // combines — exact same result as a plain groupBy
+    "q37_salted_agg" -> ((s, dir) => {
+      graft.operators.Skew.saltedAgg(
+        t(s, dir, "documents"), col("source"), col("doc_id"), 16)(
+        Seq(count(lit(1)).as("c"), sum(col("n_chars")).as("sc")),
+        Seq(sum(col("c")).as("n_docs"), sum(col("sc")).as("sum_chars")))
+        .orderBy(col("source"))
+    }),
+
+    // salted equi-join (skew handling): fact side salted, dim side
+    // replicated per salt; exact same result as the plain join
+    "q38_salted_join" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem").select(col("l_partkey"), col("l_quantity"))
+      val p = t(s, dir, "part").select(col("p_partkey"), col("p_brand"))
+      graft.operators.Skew.saltedJoin(li, p, "l_partkey", "p_partkey", col("l_partkey"), 8)
+        .groupBy(col("p_brand"))
+        .agg(count(lit(1)).as("cnt"),
+          sum(col("l_quantity").cast("decimal(18,2)")).as("sum_qty"))
+        .orderBy(col("p_brand"))
+    }),
+
     // JSON protocol parse (align/profiler JSON, §2.7: from_json with fixed
     // schema) over the events.props column
     "q35_json_extract" -> ((s, dir) => {
@@ -785,6 +808,14 @@ object SparkEntry {
         |SELECT a.doc_id, count(*) AS n_mismatch
         |FROM a JOIN b ON a.doc_id = b.doc_id AND a.pos = b.pos
         |WHERE tok_a <> tok_b GROUP BY a.doc_id ORDER BY a.doc_id""".stripMargin,
+    "q37_salted_agg" ->
+      """SELECT source, count(*) AS n_docs, sum(n_chars) AS sum_chars
+        |FROM documents GROUP BY source ORDER BY source""".stripMargin,
+    "q38_salted_join" ->
+      """SELECT p_brand, count(*) AS cnt,
+        |  sum(CAST(l_quantity AS DECIMAL(18,2))) AS sum_qty
+        |FROM lineitem JOIN part ON l_partkey = p_partkey
+        |GROUP BY p_brand ORDER BY p_brand""".stripMargin,
     "q35_json_extract" ->
       """SELECT CAST(regexp_extract(props, '[0-9]+') AS INT) AS k, count(*) AS cnt
         |FROM events GROUP BY k ORDER BY k""".stripMargin,

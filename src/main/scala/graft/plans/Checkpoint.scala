@@ -107,9 +107,14 @@ object Checkpoint {
       // then the stage transform, then per-bucket dynamic overwrite
       val pending = in.withColumn("p_bucket", bucket)
         .filter(col("p_bucket").isin(todo: _*))
+      // cluster rows by bucket before the partitioned write: otherwise
+      // every task opens a parquet writer per bucket it sees (tasks x
+      // buckets writer inits — the classic dynamic-partitioning write
+      // explosion); clustered, each bucket is written by one task
       val transformed = f(pending)
         .withColumn("p_bucket",
           pmod(xxhash64(col(keyCol)), lit(nBuckets)).cast("int"))
+        .repartition(nBuckets, col("p_bucket"))
       val counts = transformed.persist()
         .groupBy(col("p_bucket")).count().collect()
         .map(r => r.getInt(0) -> r.getLong(1)).toMap

@@ -50,9 +50,13 @@ object ScalingBench {
     */
   private def timeRun(spark: SparkSession, cpus: Int, nDocs: Long): Double = {
     Pipeline.run(Pipeline.generate(spark, nDocs, partitions = cpus * 4)).count()
-    val t0 = System.nanoTime()
-    Pipeline.run(Pipeline.generate(spark, nDocs, partitions = cpus * 4)).count()
-    (System.nanoTime() - t0) / 1e9
+    // best of 2 timed passes: this sandbox's host stalls for seconds at a
+    // time (noisy neighbors); the min is the undisturbed measurement
+    (1 to 2).map { _ =>
+      val t0 = System.nanoTime()
+      Pipeline.run(Pipeline.generate(spark, nDocs, partitions = cpus * 4)).count()
+      (System.nanoTime() - t0) / 1e9
+    }.min
   }
 
   private def median(xs: Seq[Double]): Double = {

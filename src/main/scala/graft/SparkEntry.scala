@@ -190,6 +190,17 @@ object SparkEntry {
         .orderBy(col("n_name"), col("r_name"))
     }),
 
+    // custom Catalyst expression: banded bounded levenshtein (the scale
+    // path for lev(a,b) <= k predicates; codegen-compatible, see
+    // graft.functions.BoundedLevenshtein)
+    "q39_bounded_lev" -> ((s, dir) => {
+      graft.functions.BoundedLevenshtein.register(s)
+      t(s, dir, "nation").crossJoin(t(s, dir, "region"))
+        .select(col("n_name"), col("r_name"),
+          expr("graft_lev_bounded(n_name, r_name, 3)").as("bd"))
+        .orderBy(col("n_name"), col("r_name"))
+    }),
+
     // tokenize + token count (aio.py:454-460 role)
     "q13_token_count" -> ((s, dir) => {
       t(s, dir, "documents")
@@ -665,6 +676,9 @@ object SparkEntry {
         |ORDER BY sh""".stripMargin,
     "q12_lev_matrix" ->
       """SELECT n_name, r_name, levenshtein(n_name, r_name) AS lev
+        |FROM nation CROSS JOIN region ORDER BY n_name, r_name""".stripMargin,
+    "q39_bounded_lev" ->
+      """SELECT n_name, r_name, least(levenshtein(n_name, r_name), 4) AS bd
         |FROM nation CROSS JOIN region ORDER BY n_name, r_name""".stripMargin,
     "q13_token_count" ->
       """SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,

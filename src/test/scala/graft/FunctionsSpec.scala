@@ -1,0 +1,72 @@
+package graft
+
+import graft.core.Edist
+import graft.functions.{BoundedLevenshtein, Lev, Metrics}
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Custom function surface (SURVEY §2.10): the banded-Levenshtein Catalyst
+  * expression and the CER/WER Aggregators.
+  */
+class FunctionsSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = SparkTestSession.spark
+
+  test("Lev.bounded == min(levenshtein, bound+1) (1000 random cases)") {
+    val rng = new scala.util.Random(42)
+    def rs(): String = Seq.fill(rng.nextInt(12))("abcd".charAt(rng.nextInt(4))).mkString
+    (1 to 1000).foreach { _ =>
+      val a = rs(); val b = rs(); val k = rng.nextInt(6)
+      assert(Lev.bounded(a, b, k) == math.min(Edist.levenshtein(a, b), k + 1),
+        s"a=$a b=$b k=$k")
+    }
+  }
+
+  test("graft_lev_bounded expression works in SQL and stays in codegen") {
+    BoundedLevenshtein.register(spark)
+    import spark.implicits._
+    val df = Seq(("kitten", "sitting"), ("abc", "abc"), ("aaaa", "zzzz"))
+      .toDF("a", "b")
+      .select(col("a"), col("b"), expr("graft_lev_bounded(a, b, 2)").as("d"))
+    val rows = df.collect().map(r => (r.getString(0), r.getInt(2))).toMap
+    assert(rows("kitten") == 3) // true distance 3 > bound 2 -> cap 3
+    assert(rows("abc") == 0)
+    assert(rows("aaaa") == 3)
+  }
+
+  test("bounded lev agrees with full DP as a dedup predicate over real data") {
+    BoundedLevenshtein.register(spark)
+    val docs = spark.read.parquet("/root/testdata/sf0.001/nation.parquet")
+      .select(col("n_name"))
+    val pairs = docs.crossJoin(docs.withColumnRenamed("n_name", "m_name"))
+      .select(col("n_name"), col("m_name"),
+        expr("graft_lev_bounded(n_name, m_name, 3)").as("bd"),
+        least(levenshtein(col("n_name"), col("m_name")), lit(4)).as("ref"))
+    assert(pairs.filter(col("bd") =!= col("ref")).count() == 0)
+    // over a real scan the expression must stay inside whole-stage codegen
+    pairs.collect()
+    val plan = pairs.queryExecution.executedPlan.toString
+    assert(plan.contains("WholeStageCodegen") || plan.contains("*(1)"),
+      s"expression fell out of codegen:\n$plan")
+  }
+
+  test("CER aggregator matches the reference formula") {
+    import spark.implicits._
+    val ds = Seq(("abc", "abd"), ("hello", "hello"), ("xy", "xyz")).toDS()
+    val cer = ds.select(Metrics.cer.toColumn).head()
+    // edits = 1 + 0 + 1 = 2; gt chars = 3 + 5 + 3 = 11
+    assert(math.abs(cer - 2.0 / 11.0) < 1e-12)
+  }
+
+  test("WER aggregator matches wer/cli.py counting") {
+    import spark.implicits._
+    val ds = Seq(
+      ("the cat sat", "the cat sat"), // 0/3
+      ("the dog sat", "the cat sat"), // 1/3
+      ("one two", "one two three")    // 1/3 (missing token counts wrong)
+    ).toDS()
+    val wer = ds.select(Metrics.wer.toColumn).head()
+    assert(math.abs(wer - 2.0 / 9.0) < 1e-12)
+  }
+}

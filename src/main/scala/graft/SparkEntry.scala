@@ -582,6 +582,23 @@ object SparkEntry {
         .orderBy(col("url"))
     }),
 
+    // CER/WER via the custom typed Aggregators (SURVEY §2.10): map-side
+    // partial (edits, chars) buffers merged across partitions
+    "p11_cer_aggregator" -> ((s, _) => {
+      import s.implicits._
+      val n = 100
+      val golden = s.createDataset((0L until n.toLong).map(i =>
+        (graft.fixtures.PagesGen.page(i).row.url, Pipeline.goldenText(i))))
+        .toDF("url", "golden")
+      val corrected = Pipeline.run(Pipeline.generate(s, n))
+        .map(c => (c.url, c.text)).toDF("url", "corrected")
+      corrected.join(golden, Seq("url"))
+        .select(col("corrected"), col("golden")).as[(String, String)]
+        .select(graft.functions.Metrics.cer.toColumn.name("cer"),
+          graft.functions.Metrics.wer.toColumn.name("wer"))
+        .toDF("cer", "wer")
+    }),
+
     // CER/WER metrics vs golden truth (wer/cli.py:50-67, div/stats.py:60-91)
     "p06_metrics" -> ((s, _) => {
       import s.implicits._

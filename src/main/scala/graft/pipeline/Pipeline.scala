@@ -114,4 +114,39 @@ object Pipeline {
 
   /** Golden truth for a generated corpus (test/metric side). */
   def goldenText(i: Long, seed: Long = 42L): String = PagesGen.page(i, seed).trueText
+
+  /** The checkpointed pipeline: table-per-stage (the reference's file-group
+    * model, SURVEY §1.2) with per-bucket resume ledgers — the north-star
+    * execution mode. Each stage commits hash-buckets independently via
+    * [[graft.plans.Checkpoint.runStage]]; a rerun after any crash skips
+    * completed buckets per stage and reproduces identical bytes.
+    *
+    * The shuffle-free [[run]] is the throughput path; this one trades one
+    * write+read barrier per stage for stage-granular resume + lineage, the
+    * same trade the reference makes with its METS file groups
+    * (aio/aio.py:269-298 skip-if-output-exists).
+    */
+  def runCheckpointed(
+      spark: SparkSession,
+      root: String,
+      n: Long,
+      buckets: Int = 32
+  ): org.apache.spark.sql.DataFrame = {
+    import spark.implicits._
+    import graft.plans.Checkpoint
+
+    val pages = generate(spark, n).toDF()
+    val seg = Checkpoint.runStage(spark, "segment", root, pages, "url", buckets) { df =>
+      df.as[PageRow].map(segmentPage).toDF()
+    }
+    val aligned = Checkpoint.runStage(spark, "align", root,
+      seg.output.drop("p_bucket"), "url", buckets) { df =>
+      df.as[SegmentedPage].map(alignPage).toDF()
+    }
+    val corrected = Checkpoint.runStage(spark, "correct", root,
+      aligned.output.drop("p_bucket"), "url", buckets) { df =>
+      correct(df.as[AlignedPage]).toDF()
+    }
+    corrected.output.drop("p_bucket")
+  }
 }

@@ -37,36 +37,54 @@ object MultiAlign {
     val n = support.length; val m = master.length
     // buckets(i) collects support chars aligned to master char i (0..m-1);
     // buckets(m) holds leading insertions (attached to position 0 later).
-    val dp = Array.ofDim[Int](m + 1, n + 1)
+    // Flat row-major DP + lazily-created buckets: this runs once per
+    // (line, support extractor) in the hot path, so the (m+1)*(n+1)
+    // 2-D allocation and m+1 eager StringBuilders were measurable garbage.
+    val w = n + 1
+    val dp = new Array[Int]((m + 1) * w)
     var j = 0
-    while (j <= n) { dp(0)(j) = j; j += 1 }
+    while (j <= n) { dp(j) = j; j += 1 }
     var i = 1
     while (i <= m) {
-      dp(i)(0) = i
+      val row = i * w; val prev = row - w
+      dp(row) = i
+      val mc = master.charAt(i - 1)
       var jj = 1
       while (jj <= n) {
-        val delta = if (support.charAt(jj - 1) != master.charAt(i - 1)) 1 else 0
-        dp(i)(jj) = math.min(dp(i - 1)(jj) + 1, math.min(dp(i)(jj - 1) + 1, dp(i - 1)(jj - 1) + delta))
+        val delta = if (support.charAt(jj - 1) != mc) 1 else 0
+        dp(row + jj) = math.min(dp(prev + jj) + 1,
+          math.min(dp(row + jj - 1) + 1, dp(prev + jj - 1) + delta))
         jj += 1
       }
       i += 1
     }
-    val buckets = Array.fill(m + 1)(new StringBuilder)
-    // traceback, preferring diagonal, then up (gap in support), then left
+    val buckets = new Array[StringBuilder](m + 1)
+    def bucket(k: Int): StringBuilder = {
+      if (buckets(k) == null) buckets(k) = new StringBuilder
+      buckets(k)
+    }
+    // traceback, preferring diagonal, then up (gap in support), then left;
+    // chars are appended in reverse and flipped once per touched bucket
     var ii = m; var jj = n
     while (ii > 0 || jj > 0) {
       val delta = if (ii > 0 && jj > 0 && support.charAt(jj - 1) != master.charAt(ii - 1)) 1 else 0
-      if (ii > 0 && jj > 0 && dp(ii)(jj) == dp(ii - 1)(jj - 1) + delta) {
-        buckets(ii - 1).insert(0, support.charAt(jj - 1))
+      if (ii > 0 && jj > 0 && dp(ii * w + jj) == dp((ii - 1) * w + jj - 1) + delta) {
+        bucket(ii - 1).append(support.charAt(jj - 1))
         ii -= 1; jj -= 1
-      } else if (ii > 0 && dp(ii)(jj) == dp(ii - 1)(jj) + 1) {
+      } else if (ii > 0 && dp(ii * w + jj) == dp((ii - 1) * w + jj) + 1) {
         ii -= 1 // deletion: master char with no support char
       } else {
         // insertion: support char attached to current master position
         val slot = if (ii == 0) 0 else ii - 1
-        buckets(slot).insert(0, support.charAt(jj - 1))
+        bucket(slot).append(support.charAt(jj - 1))
         jj -= 1
       }
+    }
+    var k = 0
+    while (k <= m) {
+      if (buckets(k) == null) buckets(k) = new StringBuilder
+      else if (buckets(k).length > 1) buckets(k) = buckets(k).reverseContents()
+      k += 1
     }
     buckets
   }

@@ -371,6 +371,39 @@ object SparkEntry {
         .orderBy(col("id1"), col("id2"))
     }),
 
+    // IVF ANN (the other scale path besides LSH): coarse quantizer =
+    // 8 deterministic centroids (vec_id < 8); every vector is assigned to
+    // its nearest centroid (the inverted file); each query (vec_id < 3)
+    // probes its nprobe=2 nearest cells and ranks only those candidates.
+    // Centroids broadcast; the probe-cell join is an equi-join on cell id.
+    "q40_ann_ivf" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings").select(col("vec_id"),
+        expr("transform(embedding, x -> cast(x as double))").as("v"))
+      val cents = emb.filter(col("vec_id") < 8)
+        .select(col("vec_id").as("cid"), col("v").as("cv"))
+      val d2 = expr("aggregate(zip_with(v, cv, (x, y) -> (x - y) * (x - y)), cast(0 as double), (acc, x) -> acc + x)")
+      val wA = Window.partitionBy(col("vec_id")).orderBy(col("d2").asc, col("cid").asc)
+      val ranked = emb.crossJoin(broadcast(cents))
+        .withColumn("d2", d2)
+        .withColumn("rn", row_number().over(wA))
+      val assigned = ranked.filter(col("rn") === 1)
+        .select(col("vec_id"), col("v"), col("cid"))
+      val probes = ranked.filter(col("vec_id") < 3 && col("rn") <= 2)
+        .select(col("vec_id").as("qid"), col("v").as("qv"), col("cid"))
+      val dot = expr("aggregate(zip_with(qv, v, (x, y) -> x * y), cast(0 as double), (acc, x) -> acc + x)")
+      val nq = sqrt(expr("aggregate(transform(qv, x -> x * x), cast(0 as double), (acc, x) -> acc + x)"))
+      val nv = sqrt(expr("aggregate(transform(v, x -> x * x), cast(0 as double), (acc, x) -> acc + x)"))
+      val wQ = Window.partitionBy(col("qid"))
+        .orderBy(col("cos_r").desc, col("vec_id").asc)
+      probes.join(assigned, Seq("cid"))
+        .filter(col("qid") =!= col("vec_id"))
+        .withColumn("cos_r", round(dot / (nq * nv), 3))
+        .withColumn("rnk", row_number().over(wQ))
+        .filter(col("rnk") <= 3)
+        .select(col("qid"), col("vec_id"), col("rnk"))
+        .orderBy(col("qid"), col("rnk"))
+    }),
+
     // document fingerprinting: rolling 8-gram hash, winnowing-style
     // selection of grams whose md5 starts with '0' (1/16 sampling) —
     // content-defined, shift-robust fingerprints.
@@ -786,6 +819,29 @@ object SparkEntry {
         |    (sqrt(list_sum(list_transform(a.v, x -> x * x))) *
         |     sqrt(list_sum(list_transform(c.v, x -> x * x)))), 3) >= 0.35
         |ORDER BY id1, id2""".stripMargin,
+    "q40_ann_ivf" ->
+      """WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
+        |c AS (SELECT vec_id AS cid, v AS cv FROM e WHERE vec_id < 8),
+        |ad AS (
+        |  SELECT vec_id, v, cid,
+        |    row_number() OVER (PARTITION BY vec_id ORDER BY d2 ASC, cid ASC) AS rn
+        |  FROM (SELECT e.vec_id, e.v, c.cid,
+        |          list_sum(list_transform(range(1, 65),
+        |            i -> (e.v[CAST(i AS INT)] - c.cv[CAST(i AS INT)]) * (e.v[CAST(i AS INT)] - c.cv[CAST(i AS INT)]))) AS d2
+        |        FROM e, c)),
+        |assigned AS (SELECT vec_id, v, cid FROM ad WHERE rn = 1),
+        |probes AS (SELECT vec_id AS qid, v AS qv, cid FROM ad WHERE vec_id < 3 AND rn <= 2),
+        |cand AS (
+        |  SELECT qid, a.vec_id, round(
+        |    list_sum(list_transform(range(1, 65), i -> qv[CAST(i AS INT)] * a.v[CAST(i AS INT)])) /
+        |    (sqrt(list_sum(list_transform(qv, x -> x * x))) *
+        |     sqrt(list_sum(list_transform(a.v, x -> x * x)))), 3) AS cos_r
+        |  FROM probes p JOIN assigned a USING (cid) WHERE a.vec_id <> p.qid)
+        |SELECT qid, vec_id, rnk FROM (
+        |  SELECT qid, vec_id,
+        |    row_number() OVER (PARTITION BY qid ORDER BY cos_r DESC, vec_id ASC) AS rnk
+        |  FROM cand) t
+        |WHERE rnk <= 3 ORDER BY qid, rnk""".stripMargin,
     "q22_fingerprint" ->
       """WITH grams AS (
         |  SELECT doc_id, md5(substr(text, CAST(u AS INT), 8)) AS h

@@ -615,6 +615,17 @@ object SparkEntry {
         .orderBy(col("url"))
     }),
 
+    // Iceberg-emulating Pages table: hidden partitions days(warc_ts) x
+    // bucket(url, N), manifest, partition-pruned scan
+    "p12_pages_table" -> ((s, _) => {
+      import s.implicits._
+      val root = java.nio.file.Files.createTempDirectory("graft-ptable").toString
+      graft.sources.PagesTable.write(Pipeline.generate(s, 100), root, buckets = 8)
+      graft.sources.PagesTable.read(s, root)
+        .groupBy(col("p_day")).agg(count(lit(1)).as("n_pages"))
+        .orderBy(col("p_day"))
+    }),
+
     // CER/WER via the custom typed Aggregators (SURVEY §2.10): map-side
     // partial (edits, chars) buffers merged across partitions
     "p11_cer_aggregator" -> ((s, _) => {

@@ -1,0 +1,90 @@
+package graft
+
+import graft.fixtures.PagesGen
+import graft.pipeline.Pipeline
+import graft.sources.PagesTable
+import graft.streaming.StreamingPipeline
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import java.nio.file.{Files, Path, Paths}
+import java.util.Comparator
+
+class SourcesStreamingSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = SparkTestSession.spark
+
+  private def rmTree(p: Path): Unit =
+    if (Files.exists(p))
+      Files.walk(p).sorted(Comparator.reverseOrder[Path]()).forEach(f => Files.delete(f))
+
+  test("PagesTable round-trips and prunes partitions on p_day") {
+    val root = Files.createTempDirectory("graft-pages-table").toString
+    val n = 120
+    PagesTable.write(Pipeline.generate(spark, n), root, buckets = 8)
+    assert(Files.exists(Paths.get(root, "manifest.json")))
+
+    // logical schema round-trip, byte-identical html
+    val back = PagesTable.logical(spark, root).collect().map(p => p.url -> p).toMap
+    assert(back.size == n)
+    (0 until n).foreach { i =>
+      val tp = PagesGen.page(i.toLong).row
+      assert(java.util.Arrays.equals(back(tp.url).html, tp.html))
+    }
+
+    // a p_day range scan must prune partitions (PartitionFilters, not a
+    // full-scan + filter)
+    val days = PagesTable.read(spark, root).select(col("p_day")).distinct()
+      .collect().map(_.getInt(0)).sorted
+    val firstDay = days.head
+    val pruned = PagesTable.scanDays(spark, root, firstDay, firstDay)
+    val plan = pruned.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters") && plan.contains("p_day"),
+      s"no partition pruning in plan:\n$plan")
+    val expected = PagesTable.read(spark, root)
+      .filter(col("p_day") === firstDay).count()
+    assert(pruned.count() == expected && expected > 0)
+    rmTree(Paths.get(root))
+  }
+
+  test("bucket scan co-locates with checkpoint bucketing") {
+    val root = Files.createTempDirectory("graft-pages-bucket").toString
+    PagesTable.write(Pipeline.generate(spark, 80), root, buckets = 8)
+    val b3 = PagesTable.scanBucket(spark, root, 3)
+      .select(col("url")).collect().map(_.getString(0)).toSet
+    // same hash expression as Checkpoint: xxhash64(url) % 8
+    val expected = PagesTable.read(spark, root)
+      .filter(pmod(xxhash64(col("url")), lit(8)) === 3)
+      .select(col("url")).collect().map(_.getString(0)).toSet
+    assert(b3 == expected)
+    rmTree(Paths.get(root))
+  }
+
+  test("streaming pipeline produces byte-identical corrections to batch") {
+    val out = Files.createTempDirectory("graft-stream-out").toString
+    val ckpt = Files.createTempDirectory("graft-stream-ckpt").toString
+    val q = StreamingPipeline.writer(
+      StreamingPipeline.corrected(StreamingPipeline.pagesStream(spark, rowsPerSecond = 500)),
+      s"$out/data", ckpt,
+      org.apache.spark.sql.streaming.Trigger.ProcessingTime("500 milliseconds")).start()
+    // poll until at least one non-empty micro-batch committed (rate source
+    // emits rows as wall-clock advances), then stop the query
+    val deadline = System.currentTimeMillis() + 90000L
+    var have = 0L
+    while (have == 0L && System.currentTimeMillis() < deadline) {
+      Thread.sleep(1000L)
+      have = try spark.read.parquet(s"$out/data").count() catch { case _: Throwable => 0L }
+    }
+    q.stop(); q.awaitTermination(30000L)
+    val rows = spark.read.parquet(s"$out/data")
+      .select(col("url"), col("text")).collect()
+      .map(r => r.getString(0) -> r.getString(1))
+    assert(rows.nonEmpty, "streaming produced no rows")
+    // every streamed url must match the batch golden truth for its index
+    rows.foreach { case (url, text) =>
+      val idx = url.substring(url.lastIndexOf('p') + 1).toLong
+      assert(text == Pipeline.goldenText(idx), s"streamed $url differs from golden")
+    }
+    rmTree(Paths.get(out)); rmTree(Paths.get(ckpt))
+  }
+}

@@ -62,6 +62,16 @@ object SparkEntry {
         .orderBy(col("l_returnflag").asc_nulls_first, col("l_linestatus").asc_nulls_first)
     }),
 
+    // full grouping-sets lattice (cube) — the generalization of the
+    // reference's manual two-level rollup (div/eval.py:96-221)
+    "q41_cube" -> ((s, dir) => {
+      t(s, dir, "lineitem")
+        .cube(col("l_returnflag"), col("l_linestatus"))
+        .agg(count(lit(1)).as("cnt"),
+          sum(col("l_quantity").cast("decimal(18,2)")).as("sum_qty"))
+        .orderBy(col("l_returnflag").asc_nulls_first, col("l_linestatus").asc_nulls_first)
+    }),
+
     // predominant language argmax (div/lang.py:24-88)
     "q06_mode_lang" -> ((s, dir) => {
       val counts = t(s, dir, "documents").groupBy(col("source"), col("lang")).count()
@@ -678,6 +688,11 @@ object SparkEntry {
       """SELECT l_returnflag, l_linestatus,
         |  sum(CAST(l_quantity AS DECIMAL(18,2))) AS sum_qty, count(*) AS cnt
         |FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
+        |ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""".stripMargin,
+    "q41_cube" ->
+      """SELECT l_returnflag, l_linestatus, count(*) AS cnt,
+        |  sum(CAST(l_quantity AS DECIMAL(18,2))) AS sum_qty
+        |FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)
         |ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""".stripMargin,
     "q06_mode_lang" ->
       """SELECT source, lang AS top_lang, cnt FROM (

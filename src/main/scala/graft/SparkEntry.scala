@@ -164,6 +164,19 @@ object SparkEntry {
         .orderBy(col("l_orderkey"), col("rnk"))
     }),
 
+    // distance-to-next-rank via lead/lag (DMDifferenceToNextRankFeature,
+    // config.json dmFeatures): per-key ordered delta to the next row
+    "q42_lead_lag" -> ((s, dir) => {
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts").asc, col("event_id").asc)
+      t(s, dir, "events")
+        .withColumn("next_val", lead(col("value"), 1).over(w))
+        .withColumn("diff_to_next",
+          round(col("next_val") - col("value"), 6))
+        .select(col("user_id"), col("event_id"), col("diff_to_next"))
+        .orderBy(col("user_id"), col("event_id"))
+    }),
+
     // moving stats ring buffer (ocrolib/common.py:875-885): windowed max
     // over the last 3 rows (exact-pick aggregate, deterministic)
     "q10_moving_max" -> ((s, dir) => {
@@ -736,6 +749,11 @@ object SparkEntry {
         |    row_number() OVER (PARTITION BY l_orderkey ORDER BY l_extendedprice DESC, l_linenumber ASC) AS rnk
         |  FROM lineitem) t
         |WHERE rnk <= 10 ORDER BY l_orderkey, rnk""".stripMargin,
+    "q42_lead_lag" ->
+      """SELECT user_id, event_id,
+        |  round(lead(value, 1) OVER (PARTITION BY user_id ORDER BY ts ASC, event_id ASC)
+        |        - value, 6) AS diff_to_next
+        |FROM events ORDER BY user_id, event_id""".stripMargin,
     "q10_moving_max" ->
       """SELECT user_id, event_id,
         |  max(value) OVER (PARTITION BY user_id ORDER BY ts ASC, event_id ASC

@@ -29,12 +29,14 @@ object SparkEntry {
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // ---- §2.4 aggregations ----
 
-    // WER stats shape (wer/cli.py:50-67): total/correct/incorrect + rate
+    // WER stats shape (wer/cli.py:50-67): total/correct/incorrect + rate.
+    // Sums are cast to BIGINT on both sides: DuckDB's sum(INTEGER) widens
+    // to HUGEINT and the driver's hasher is type-sensitive.
     "q01_wer_stats" -> ((s, dir) => {
       t(s, dir, "lineitem").agg(
         count(lit(1)).as("total_words"),
-        sum(when(col("l_returnflag") === "N", 1L).otherwise(0L)).as("correct_words"),
-        sum(when(col("l_returnflag") =!= "N", 1L).otherwise(0L)).as("incorrect_words")
+        sum(when(col("l_returnflag") === "N", 1L).otherwise(0L)).cast("long").as("correct_words"),
+        sum(when(col("l_returnflag") =!= "N", 1L).otherwise(0L)).cast("long").as("incorrect_words")
       ).withColumn("word_error_rate",
         col("incorrect_words").cast("double") / col("total_words"))
     }),
@@ -46,8 +48,8 @@ object SparkEntry {
         .groupBy(col("lang"))
         .agg(
           sum(levenshtein(substring(col("text"), 1, 30), substring(col("text"), 31, 30)))
-            .as("dist_sum"),
-          sum(col("n_chars")).as("gt_len"),
+            .cast("long").as("dist_sum"),
+          sum(col("n_chars")).cast("long").as("gt_len"),
           count(lit(1)).as("n_docs"))
         .orderBy(col("lang"))
     }),
@@ -57,7 +59,7 @@ object SparkEntry {
       t(s, dir, "lineitem")
         .rollup(col("l_returnflag"), col("l_linestatus"))
         .agg(
-          sum(col("l_quantity").cast("decimal(18,2)")).as("sum_qty"),
+          sum(col("l_quantity").cast("decimal(18,2)")).cast("decimal(18,2)").as("sum_qty"),
           count(lit(1)).as("cnt"))
         .orderBy(col("l_returnflag").asc_nulls_first, col("l_linestatus").asc_nulls_first)
     }),
@@ -68,7 +70,7 @@ object SparkEntry {
       t(s, dir, "lineitem")
         .cube(col("l_returnflag"), col("l_linestatus"))
         .agg(count(lit(1)).as("cnt"),
-          sum(col("l_quantity").cast("decimal(18,2)")).as("sum_qty"))
+          sum(col("l_quantity").cast("decimal(18,2)")).cast("decimal(18,2)").as("sum_qty"))
         .orderBy(col("l_returnflag").asc_nulls_first, col("l_linestatus").asc_nulls_first)
     }),
 
@@ -120,7 +122,7 @@ object SparkEntry {
         .join(r, n("n_regionkey") === r("r_regionkey"))
         .groupBy(col("r_name"), col("n_name"))
         .agg(count(lit(1)).as("cnt"),
-          sum(col("c_acctbal").cast("decimal(18,2)")).as("acctbal_sum"))
+          sum(col("c_acctbal").cast("decimal(18,2)")).cast("decimal(18,2)").as("acctbal_sum"))
         .orderBy(col("r_name"), col("n_name"))
     }),
 
@@ -288,7 +290,12 @@ object SparkEntry {
     }),
 
     // n-gram Jaccard near-dup: stride-7 char-12-gram shingles, shingle-key
-    // equi-join (the scalable LSH-style band join shape), Jaccard >= 0.5
+    // equi-join (the scalable LSH-style band join shape), Jaccard >= 0.5.
+    // Hot-shingle guard: shingles shared by > 64 docs (boilerplate) are
+    // dropped before the self-join — without it one hot shingle emits
+    // O(df^2) join rows, a quadratic blowup at web scale. Doc sizes are
+    // still counted over ALL shingles, so the guard only ever lowers a
+    // pair's Jaccard (conservative), and is mirrored in the oracle.
     "q16_shingle_jaccard" -> ((s, dir) => {
       val docs = t(s, dir, "documents")
       val shingles = docs.select(col("doc_id"),
@@ -296,8 +303,11 @@ object SparkEntry {
           "transform(sequence(1, greatest(length(text) - 11, 1), 7), i -> substring(text, i, 12))"
         )).as("sh")).distinct()
       val sizes = shingles.groupBy(col("doc_id")).agg(count(lit(1)).as("sz"))
-      val a = shingles.select(col("doc_id").as("id1"), col("sh"))
-      val b = shingles.select(col("doc_id").as("id2"), col("sh"))
+      val rare = shingles.join(
+        shingles.groupBy(col("sh")).agg(count(lit(1)).as("df"))
+          .filter(col("df") <= 64).select(col("sh")), Seq("sh"))
+      val a = rare.select(col("doc_id").as("id1"), col("sh"))
+      val b = rare.select(col("doc_id").as("id2"), col("sh"))
       val common = a.join(b, Seq("sh")).filter(col("id1") < col("id2"))
         .groupBy(col("id1"), col("id2")).agg(count(lit(1)).as("common"))
       common
@@ -374,23 +384,28 @@ object SparkEntry {
         .orderBy(col("qid"), col("rnk"))
     }),
 
-    // LSH-bucketed ANN (the scale path): sign-of-coordinate hyperplane
-    // bucket on dims 1-4, cosine only within buckets — the bucket equi-join
-    // replaces the all-pairs cross join at 10^12 rows.
+    // LSH-bucketed ANN (the scale path): banded hyperplane LSH — B=4 bands
+    // of R=16 sign bits each (64 bits total; candidates = pairs agreeing on
+    // ALL 16 bits of ANY band). 2^16 buckets per band keeps within-bucket
+    // self-joins near-linear at 10^12 rows (vs 16 buckets in the naive
+    // single-band variant, whose buckets grow O(n) and the join O(n^2)).
     "q21_ann_lsh" -> ((s, dir) => {
       val emb = t(s, dir, "embeddings").select(col("vec_id"),
         expr("transform(embedding, x -> cast(x as double))").as("v"))
-        .withColumn("b", concat((1 to 4).map(i =>
-          when(element_at(col("v"), i) >= 0, "1").otherwise("0")): _*))
-      val a = emb.select(col("b"), col("vec_id").as("id1"), col("v").as("v1"))
-      val c = emb.select(col("b"), col("vec_id").as("id2"), col("v").as("v2"))
+      def bandKey(j: Int): Column = concat((1 to 16).map(i =>
+        when(element_at(col("v"), 16 * j + i) >= 0, "1").otherwise("0")): _*)
+      val banded = emb.select(col("vec_id"), col("v"),
+        posexplode(array((0 to 3).map(bandKey): _*)))
+        .toDF("vec_id", "v", "band", "key")
+      val a = banded.select(col("band"), col("key"), col("vec_id").as("id1"), col("v").as("v1"))
+      val c = banded.select(col("band"), col("key"), col("vec_id").as("id2"), col("v").as("v2"))
       val dot = expr("aggregate(zip_with(v1, v2, (x, y) -> x * y), cast(0 as double), (acc, x) -> acc + x)")
       val n1 = sqrt(expr("aggregate(transform(v1, x -> x * x), cast(0 as double), (acc, x) -> acc + x)"))
       val n2 = sqrt(expr("aggregate(transform(v2, x -> x * x), cast(0 as double), (acc, x) -> acc + x)"))
-      a.join(c, Seq("b")).filter(col("id1") < col("id2"))
+      a.join(c, Seq("band", "key")).filter(col("id1") < col("id2"))
         .withColumn("cos_r", round(dot / (n1 * n2), 3))
         .filter(col("cos_r") >= 0.35)
-        .select(col("id1"), col("id2"))
+        .select(col("id1"), col("id2")).distinct()
         .orderBy(col("id1"), col("id2"))
     }),
 
@@ -398,21 +413,29 @@ object SparkEntry {
     // 8 deterministic centroids (vec_id < 8); every vector is assigned to
     // its nearest centroid (the inverted file); each query (vec_id < 3)
     // probes its nprobe=2 nearest cells and ranks only those candidates.
-    // Centroids broadcast; the probe-cell join is an equi-join on cell id.
+    // Cell assignment is ROW-LOCAL: the centroid set is collapsed to one
+    // broadcast array row and each vector computes its argmin over that
+    // array with higher-order functions — zero shuffle, no window. Struct
+    // ordering (d2, cid) gives the d2-asc/cid-asc tie rule for free. Only
+    // the probe→cell equi-join and the final tiny top-k window shuffle.
     "q40_ann_ivf" -> ((s, dir) => {
       val emb = t(s, dir, "embeddings").select(col("vec_id"),
         expr("transform(embedding, x -> cast(x as double))").as("v"))
-      val cents = emb.filter(col("vec_id") < 8)
-        .select(col("vec_id").as("cid"), col("v").as("cv"))
-      val d2 = expr("aggregate(zip_with(v, cv, (x, y) -> (x - y) * (x - y)), cast(0 as double), (acc, x) -> acc + x)")
-      val wA = Window.partitionBy(col("vec_id")).orderBy(col("d2").asc, col("cid").asc)
-      val ranked = emb.crossJoin(broadcast(cents))
-        .withColumn("d2", d2)
-        .withColumn("rn", row_number().over(wA))
-      val assigned = ranked.filter(col("rn") === 1)
-        .select(col("vec_id"), col("v"), col("cid"))
-      val probes = ranked.filter(col("vec_id") < 3 && col("rn") <= 2)
-        .select(col("vec_id").as("qid"), col("v").as("qv"), col("cid"))
+      val centArr = emb.filter(col("vec_id") < 8)
+        .agg(sort_array(collect_list(struct(col("vec_id").as("cid"), col("v").as("cv"))))
+          .as("cents"))
+      // per-centroid squared distance, ranked row-locally
+      val dists = expr(
+        """array_sort(transform(cents, c -> struct(
+          |  aggregate(zip_with(v, c.cv, (x, y) -> (x - y) * (x - y)),
+          |            cast(0 as double), (acc, x) -> acc + x) AS d2,
+          |  c.cid AS cid)))""".stripMargin)
+      val withDists = emb.crossJoin(broadcast(centArr)).withColumn("ds", dists)
+      val assigned = withDists
+        .select(col("vec_id"), col("v"), expr("ds[0].cid").as("cid"))
+      val probes = withDists.filter(col("vec_id") < 3)
+        .select(col("vec_id").as("qid"), col("v").as("qv"),
+          explode(expr("transform(slice(ds, 1, 2), x -> x.cid)")).as("cid"))
       val dot = expr("aggregate(zip_with(qv, v, (x, y) -> x * y), cast(0 as double), (acc, x) -> acc + x)")
       val nq = sqrt(expr("aggregate(transform(qv, x -> x * x), cast(0 as double), (acc, x) -> acc + x)"))
       val nv = sqrt(expr("aggregate(transform(v, x -> x * x), cast(0 as double), (acc, x) -> acc + x)"))
@@ -518,7 +541,8 @@ object SparkEntry {
       graft.operators.Skew.saltedAgg(
         t(s, dir, "documents"), col("source"), col("doc_id"), 16)(
         Seq(count(lit(1)).as("c"), sum(col("n_chars")).as("sc")),
-        Seq(sum(col("c")).as("n_docs"), sum(col("sc")).as("sum_chars")))
+        Seq(sum(col("c")).cast("long").as("n_docs"),
+          sum(col("sc")).cast("long").as("sum_chars")))
         .orderBy(col("source"))
     }),
 
@@ -530,7 +554,7 @@ object SparkEntry {
       graft.operators.Skew.saltedJoin(li, p, "l_partkey", "p_partkey", col("l_partkey"), 8)
         .groupBy(col("p_brand"))
         .agg(count(lit(1)).as("cnt"),
-          sum(col("l_quantity").cast("decimal(18,2)")).as("sum_qty"))
+          sum(col("l_quantity").cast("decimal(18,2)")).cast("decimal(18,2)").as("sum_qty"))
         .orderBy(col("p_brand"))
     }),
 
@@ -688,23 +712,23 @@ object SparkEntry {
   def oracleSql: Map[String, String] = Map(
     "q01_wer_stats" ->
       """SELECT count(*) AS total_words,
-        |  sum(CASE WHEN l_returnflag = 'N' THEN 1 ELSE 0 END) AS correct_words,
-        |  sum(CASE WHEN l_returnflag <> 'N' THEN 1 ELSE 0 END) AS incorrect_words,
+        |  CAST(sum(CASE WHEN l_returnflag = 'N' THEN 1 ELSE 0 END) AS BIGINT) AS correct_words,
+        |  CAST(sum(CASE WHEN l_returnflag <> 'N' THEN 1 ELSE 0 END) AS BIGINT) AS incorrect_words,
         |  CAST(sum(CASE WHEN l_returnflag <> 'N' THEN 1 ELSE 0 END) AS DOUBLE) / count(*) AS word_error_rate
         |FROM lineitem""".stripMargin,
     "q02_cer_stats" ->
       """SELECT lang,
-        |  sum(levenshtein(substr(text, 1, 30), substr(text, 31, 30))) AS dist_sum,
-        |  sum(n_chars) AS gt_len, count(*) AS n_docs
+        |  CAST(sum(levenshtein(substr(text, 1, 30), substr(text, 31, 30))) AS BIGINT) AS dist_sum,
+        |  CAST(sum(n_chars) AS BIGINT) AS gt_len, count(*) AS n_docs
         |FROM documents GROUP BY lang ORDER BY lang""".stripMargin,
     "q05_rollup" ->
       """SELECT l_returnflag, l_linestatus,
-        |  sum(CAST(l_quantity AS DECIMAL(18,2))) AS sum_qty, count(*) AS cnt
+        |  CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS sum_qty, count(*) AS cnt
         |FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
         |ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""".stripMargin,
     "q41_cube" ->
       """SELECT l_returnflag, l_linestatus, count(*) AS cnt,
-        |  sum(CAST(l_quantity AS DECIMAL(18,2))) AS sum_qty
+        |  CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS sum_qty
         |FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)
         |ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""".stripMargin,
     "q06_mode_lang" ->
@@ -726,7 +750,7 @@ object SparkEntry {
         |FROM part GROUP BY first_char ORDER BY first_char""".stripMargin,
     "q03_star_join" ->
       """SELECT r_name, n_name, count(*) AS cnt,
-        |  sum(CAST(c_acctbal AS DECIMAL(18,2))) AS acctbal_sum
+        |  CAST(sum(CAST(c_acctbal AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS acctbal_sum
         |FROM customer
         |JOIN nation ON c_nationkey = n_nationkey
         |JOIN region ON n_regionkey = r_regionkey
@@ -848,21 +872,22 @@ object SparkEntry {
         |    row_number() OVER (PARTITION BY qid ORDER BY cos_r DESC, vec_id ASC) AS rnk
         |  FROM pairs) t
         |WHERE rnk <= 3 ORDER BY qid, rnk""".stripMargin,
-    "q21_ann_lsh" ->
-      """WITH e AS (
-        |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v,
-        |    concat(CASE WHEN embedding[1] >= 0 THEN '1' ELSE '0' END,
-        |           CASE WHEN embedding[2] >= 0 THEN '1' ELSE '0' END,
-        |           CASE WHEN embedding[3] >= 0 THEN '1' ELSE '0' END,
-        |           CASE WHEN embedding[4] >= 0 THEN '1' ELSE '0' END) AS b
-        |  FROM embeddings)
-        |SELECT a.vec_id AS id1, c.vec_id AS id2
-        |FROM e a JOIN e c ON a.b = c.b AND a.vec_id < c.vec_id
-        |WHERE round(
-        |    list_sum(list_transform(range(1, 65), i -> a.v[CAST(i AS INT)] * c.v[CAST(i AS INT)])) /
-        |    (sqrt(list_sum(list_transform(a.v, x -> x * x))) *
-        |     sqrt(list_sum(list_transform(c.v, x -> x * x)))), 3) >= 0.35
-        |ORDER BY id1, id2""".stripMargin,
+    "q21_ann_lsh" -> {
+      def key(j: Int): String = (1 to 16).map(i =>
+        s"CASE WHEN v[${16 * j + i}] >= 0 THEN '1' ELSE '0' END").mkString(" || ")
+      val bands = (0 to 3).map(j =>
+        s"SELECT vec_id, v, $j AS band, ${key(j)} AS key FROM e").mkString("\nUNION ALL ")
+      s"""WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
+         |b AS (
+         |$bands)
+         |SELECT DISTINCT a.vec_id AS id1, c.vec_id AS id2
+         |FROM b a JOIN b c ON a.band = c.band AND a.key = c.key AND a.vec_id < c.vec_id
+         |WHERE round(
+         |    list_sum(list_transform(range(1, 65), i -> a.v[CAST(i AS INT)] * c.v[CAST(i AS INT)])) /
+         |    (sqrt(list_sum(list_transform(a.v, x -> x * x))) *
+         |     sqrt(list_sum(list_transform(c.v, x -> x * x)))), 3) >= 0.35
+         |ORDER BY id1, id2""".stripMargin
+    },
     "q40_ann_ivf" ->
       """WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
         |c AS (SELECT vec_id AS cid, v AS cv FROM e WHERE vec_id < 8),
@@ -940,11 +965,11 @@ object SparkEntry {
         |FROM a JOIN b ON a.doc_id = b.doc_id AND a.pos = b.pos
         |WHERE tok_a <> tok_b GROUP BY a.doc_id ORDER BY a.doc_id""".stripMargin,
     "q37_salted_agg" ->
-      """SELECT source, count(*) AS n_docs, sum(n_chars) AS sum_chars
+      """SELECT source, count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS sum_chars
         |FROM documents GROUP BY source ORDER BY source""".stripMargin,
     "q38_salted_join" ->
       """SELECT p_brand, count(*) AS cnt,
-        |  sum(CAST(l_quantity AS DECIMAL(18,2))) AS sum_qty
+        |  CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS sum_qty
         |FROM lineitem JOIN part ON l_partkey = p_partkey
         |GROUP BY p_brand ORDER BY p_brand""".stripMargin,
     "q35_json_extract" ->
@@ -962,9 +987,12 @@ object SparkEntry {
         |          unnest(range(1, greatest(length(text) - 11, 1) + 1, 7)) AS u
         |        FROM documents)),
         |sizes AS (SELECT doc_id, count(*) AS sz FROM shingles GROUP BY doc_id),
+        |rare AS (
+        |  SELECT doc_id, sh FROM shingles
+        |  WHERE sh IN (SELECT sh FROM shingles GROUP BY sh HAVING count(*) <= 64)),
         |common AS (
         |  SELECT a.doc_id AS id1, b.doc_id AS id2, count(*) AS common
-        |  FROM shingles a JOIN shingles b ON a.sh = b.sh AND a.doc_id < b.doc_id
+        |  FROM rare a JOIN rare b ON a.sh = b.sh AND a.doc_id < b.doc_id
         |  GROUP BY a.doc_id, b.doc_id)
         |SELECT id1, id2 FROM common
         |JOIN sizes s1 ON s1.doc_id = id1 JOIN sizes s2 ON s2.doc_id = id2

@@ -55,6 +55,32 @@ class PlanAuditSpec extends AnyFunSuite {
       s"no whole-stage codegen span:\n$p")
   }
 
+  test("IVF cell assignment is row-local: no shuffle keyed on vec_id") {
+    val q = SparkEntry.queries("q40_ann_ivf")
+    val p = plan(q(spark, sf))
+    // the round-1 plan shuffled 8n rows through Exchange(vec_id) + Window
+    // just to argmin over 8 broadcast centroids; the row-local rewrite must
+    // leave only the final top-k window (keyed on qid)
+    assert(!p.contains("hashpartitioning(vec_id"),
+      s"IVF assignment still shuffles on vec_id:\n$p")
+  }
+
+  test("banded hyperplane LSH join is an equi-join on (band, key)") {
+    val q = SparkEntry.queries("q21_ann_lsh")
+    val p = plan(q(spark, sf))
+    assert(!p.contains("CartesianProduct"),
+      s"LSH band join degenerated to a product join:\n$p")
+  }
+
+  test("shingle-jaccard self-join is equi-keyed and df-guarded") {
+    val q = SparkEntry.queries("q16_shingle_jaccard")
+    val p = plan(q(spark, sf))
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"shingle join degenerated to a product join:\n$p")
+    // the df <= 64 hot-shingle guard must appear as a post-agg filter
+    assert(p.contains("64"), s"hot-shingle df guard missing from plan:\n$p")
+  }
+
   test("trigram frequency join broadcasts the LM side") {
     val q = SparkEntry.queries("q33_trigram_freq")
     val p = plan(q(spark, sf))

@@ -63,6 +63,21 @@ def main(sf_dir, out_dir):
             print(f"[SPARK-ERR] {name}: {e}")
             n_bad += 1
             continue
+        # driver's hasher is TYPE-sensitive (round-1 lesson: DuckDB HUGEINT /
+        # DECIMAL(38,2) vs Spark BIGINT / DECIMAL(28,2) fail hash_match even
+        # when rendered values agree) — compare arrow types too
+        try:
+            import pyarrow.parquet as _pq, glob as _glob
+            dtypes = {f.name: str(f.type) for f in con.sql(sql).arrow().schema}
+            sfile = sorted(_glob.glob(f"{spark_dir}/*.parquet"))[0]
+            stypes = {f.name: str(f.type) for f in _pq.read_schema(sfile)}
+            tdiff = {k: (stypes.get(k), dtypes.get(k))
+                     for k in set(dtypes) | set(stypes)
+                     if stypes.get(k) != dtypes.get(k)}
+            if tdiff:
+                print(f"[TYPE] {name}: spark vs duck type diffs: {tdiff}")
+        except Exception as e:
+            print(f"[TYPE-ERR] {name}: {e}")
         dc, dr = canon(drows, dcols)
         sc, sr = canon(srows, scols)
         if dc != sc:

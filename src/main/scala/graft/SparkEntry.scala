@@ -980,6 +980,49 @@ object SparkEntry {
         |  SELECT 'events' AS src, event_type AS label FROM events
         |  UNION ALL SELECT 'docs', lang FROM documents)
         |GROUP BY src, label ORDER BY src, label""".stripMargin,
+    // ---- pipeline-core oracles: Verify materializes generator-derived
+    // expected tables (graft.fixtures.Expected) to /tmp/graft_expected
+    // before the driver's DuckDB pass; the oracle is a read of those
+    // tables — the engine's output must equal what the page GENERATOR
+    // knows it embedded (golden-workspace shape,
+    // tests/run_alignment_test.bash:6-36) ----
+    "p01_segment_blocks" ->
+      """SELECT url, block_id, kind, span_start, span_stop, text
+        |FROM read_parquet('/tmp/graft_expected/blocks.parquet/*.parquet')
+        |ORDER BY url, block_id""".stripMargin,
+    "p02_extract_text" ->
+      """SELECT url, extracted_text
+        |FROM read_parquet('/tmp/graft_expected/extracted.parquet/*.parquet')
+        |ORDER BY url""".stripMargin,
+    "p04_align_variants" ->
+      """SELECT url, line_id, variant_index, text, conf, source
+        |FROM read_parquet('/tmp/graft_expected/variants.parquet/*.parquet')
+        |ORDER BY url, line_id, variant_index""".stripMargin,
+    "p05_correct" ->
+      """SELECT url, lang, corrected_text, n_corrections
+        |FROM read_parquet('/tmp/graft_expected/corrected.parquet/*.parquet')
+        |ORDER BY url""".stripMargin,
+    // expected metrics: corrected text is byte-identical to golden by
+    // construction, so all error counters must be exactly zero
+    "p06_metrics" ->
+      """SELECT CAST(sum(levenshtein(corrected_text, golden)) AS BIGINT) AS char_edits,
+        |  CAST(sum(length(golden)) AS BIGINT) AS gt_chars,
+        |  CAST(sum(CASE WHEN corrected_text = golden THEN 0 ELSE 1 END) AS BIGINT) AS incorrect_pages,
+        |  count(*) AS total_pages,
+        |  CAST(sum(levenshtein(corrected_text, golden)) AS DOUBLE) / sum(length(golden)) AS cer
+        |FROM read_parquet('/tmp/graft_expected/corrected.parquet/*.parquet')""".stripMargin,
+    "p11_cer_aggregator" ->
+      """SELECT CAST(sum(levenshtein(corrected_text, golden)) AS DOUBLE)
+        |         / sum(length(golden)) AS cer,
+        |       CAST(sum(CASE WHEN corrected_text <> golden THEN 1 ELSE 0 END) AS DOUBLE)
+        |         / count(*) AS wer
+        |FROM read_parquet('/tmp/graft_expected/corrected.parquet/*.parquet')""".stripMargin,
+    // p12 is a pure formula of the page index: warc_ts(i) = 2013-01-01 +
+    // i hours, p_day = days since epoch = 15706 + i/24 — independent of
+    // both the engine and the fixture tables
+    "p12_pages_table" ->
+      """SELECT CAST(15706 + i // 24 AS INT) AS p_day, count(*) AS n_pages
+        |FROM range(100) t(i) GROUP BY p_day ORDER BY p_day""".stripMargin,
     "q16_shingle_jaccard" ->
       """WITH shingles AS (
         |  SELECT DISTINCT doc_id, substr(text, CAST(u AS INT), 12) AS sh

@@ -19,6 +19,10 @@ object Verify {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
+    // materialize the expected pipeline outputs (generator-derived golden
+    // tables) that the p01..p12 oracle SQL reads via read_parquet — must
+    // land before the driver's DuckDB pass
+    graft.fixtures.Expected.writeAll(spark)
     SparkEntry.queries
       .filter { case (name, _) => only.forall(_.contains(name)) }
       .foreach { case (name, fn) =>

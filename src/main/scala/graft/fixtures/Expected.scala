@@ -1,0 +1,162 @@
+package graft.fixtures
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import scala.collection.mutable.ArrayBuffer
+
+/** Expected pipeline outputs, derived from the GENERATOR's construction
+  * knowledge (PagesGen knows exactly which strings it embedded where in the
+  * HTML it built) — NOT by running the engine. This puts the pipeline core
+  * (segment / extract / align / correct / metrics) under the driver's
+  * DuckDB oracle gate: `graft.Verify` materializes these tables to
+  * [[Expected.Dir]] before the queries run, and `SparkEntry.oracleSql`
+  * reads them back with `read_parquet(...)`. The role model is the
+  * reference's golden-workspace assertions
+  * (tests/run_alignment_test.bash:6-36): a fixed corpus whose per-page
+  * outputs are known a priori.
+  *
+  * Block spans are recomputed here with plain `indexOf` cursor scans over
+  * the generated HTML plus a UTF-8 prefix-length conversion — a different
+  * algorithm from the engine's streaming Scanner, so span lineage is
+  * genuinely cross-checked. Everything is driver-side: the expected corpus
+  * is a 100-page test artifact, not a scale path.
+  */
+object Expected {
+
+  /** Fixed location the oracle SQL references (the driver runs DuckDB on
+    * the same host right after `graft.Verify`, which writes these).
+    */
+  val Dir = "/tmp/graft_expected"
+
+  /** Pages covered by the p01–p12 pipeline queries. */
+  val N = 100
+
+  private val Utf8 = java.nio.charset.StandardCharsets.UTF_8
+
+  private def cap(s: String): String =
+    if (s.isEmpty) s else s.head.toUpper + s.tail
+
+  final case class ExpBlock(
+      url: String, block_id: String, kind: String,
+      span_start: Long, span_stop: Long, text: String)
+
+  /** Expected segmentation of page i: block ids, kinds, byte spans and
+    * normalized texts, located by sequential string search over the HTML
+    * that PagesGen constructed.
+    */
+  def blocksOf(i: Long): Seq[ExpBlock] = {
+    val tp = PagesGen.page(i)
+    val h = new String(tp.row.html, Utf8)
+    val url = tp.row.url
+    val host = url.stripPrefix("https://").takeWhile(_ != '.')
+    def byteOff(charIdx: Int): Long = h.substring(0, charIdx).getBytes(Utf8).length.toLong
+
+    val out = ArrayBuffer[ExpBlock]()
+    var idx = 0
+    var cursor = 0
+    def emit(kind: String, startChar: Int, stopChar: Int, text: String): Unit = {
+      out += ExpBlock(url, f"b$idx%04d", kind, byteOff(startChar), byteOff(stopChar), text)
+      idx += 1
+    }
+    def locate(s: String): Int = {
+      val k = h.indexOf(s, cursor)
+      require(k >= 0, s"expected fixture: '$s' not found in page $i")
+      cursor = k + s.length
+      k
+    }
+
+    // <title>doc $i</title> — boilerplate
+    val title = s"doc $i"
+    val t0 = locate(">" + title + "<") + 1
+    emit("boilerplate", t0, t0 + title.length, title)
+
+    // nav links — one boilerplate block spanning Home..here
+    val navStart = locate("Home")
+    val navLast = "More links here"
+    val navStop = locate(navLast) + navLast.length
+    emit("boilerplate", navStart, navStop, "Home About More links here")
+
+    // <h1> — the title text line
+    val h1 = cap(tp.titlePair._2)
+    val h1Start = locate("<h1>" + h1) + 4
+    emit("text", h1Start, h1Start + h1.length, h1)
+
+    // paragraphs, with the <hr/> separator before paragraph nLines/2
+    val nLines = tp.linePairs.length
+    tp.linePairs.zipWithIndex.foreach { case ((_, corr), j) =>
+      if (j == nLines / 2) {
+        val k = locate("<hr/>")
+        emit("sep", k, k + 5, "")
+      }
+      val content = cap(corr)
+      val pStart = locate("<p>" + content) + 3
+      emit("text", pStart, pStart + content.length, content)
+    }
+
+    // <img .../> — whole-tag span
+    val imgStart = locate("<img")
+    val imgStop = h.indexOf('>', imgStart) + 1
+    cursor = imgStop
+    emit("img", imgStart, imgStop, "")
+
+    // footer — boilerplate; &copy; is not a decoded entity, so it survives
+    // literally in the normalized text
+    val fStart = locate("Imprint")
+    val fStop = locate(host) + host.length // host = "host<k>", the last visible text
+    emit("boilerplate", fStart, fStop, s"Imprint &copy; $host")
+
+    out.toSeq
+  }
+
+  /** Expected extracted main text: text blocks in document order. */
+  def extractedTextOf(i: Long): String = {
+    val tp = PagesGen.page(i)
+    (cap(tp.titlePair._2) +: tp.linePairs.map(p => cap(p._2))).mkString("\n")
+  }
+
+  /** Number of corrupted tokens the corrector must fix on page i. */
+  def nCorrectionsOf(i: Long): Int = {
+    val tp = PagesGen.page(i)
+    (tp.titlePair +: tp.linePairs).map { case (truth, corr) =>
+      truth.split(" ").zip(corr.split(" ")).count(p => p._1 != p._2)
+    }.sum
+  }
+
+  def writeAll(spark: SparkSession, dir: String = Dir, n: Int = N): Unit = {
+    import spark.implicits._
+    val ids = (0L until n.toLong)
+
+    val blocks = ids.flatMap(blocksOf)
+    blocks.toDF().coalesce(1).write.mode("overwrite").parquet(s"$dir/blocks.parquet")
+
+    ids.map(i => (PagesGen.page(i).row.url, extractedTextOf(i)))
+      .toDF("url", "extracted_text")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/extracted.parquet")
+
+    // line variants: per text block, master (index 1, x-master, conf .9)
+    // and the alt reading (index 2, x-alt, conf .8) with the provenance
+    // tags of align/cli.py:96-108
+    val variants = ids.flatMap { i =>
+      val url = PagesGen.page(i).row.url
+      blocksOf(i).filter(_.kind == "text").flatMap { b =>
+        val alt = graft.core.TextNorm.normalize(b.text.replace("rn", "m").replace("c", "e"))
+        Seq(
+          (url, b.block_id, 1, b.text, 0.9,
+            s"ocrd-cis-line-alignment-master-ocr:x-master/${b.block_id}"),
+          (url, b.block_id, 2, alt, 0.8,
+            s"ocrd-cis-line-alignment:x-alt/${b.block_id}"))
+      }
+    }
+    variants.toDF("url", "line_id", "variant_index", "text", "conf", "source")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/variants.parquet")
+
+    // corrected output: every injected corruption is correctable by
+    // construction (PagesGen.corrupt never collides with a lexicon word),
+    // so the expectation is byte-identical golden text with exactly the
+    // injected number of corrections
+    ids.map { i =>
+      val tp = PagesGen.page(i)
+      (tp.row.url, tp.row.lang, tp.trueText, nCorrectionsOf(i), tp.trueText)
+    }.toDF("url", "lang", "corrected_text", "n_corrections", "golden")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/corrected.parquet")
+  }
+}

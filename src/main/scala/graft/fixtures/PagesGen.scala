@@ -100,7 +100,16 @@ object PagesGen {
     if (lex.contains(corrupted)) None else Some(corrupted)
   }
 
-  final case class TruePage(row: PageRow, trueText: String)
+  /** Generated page plus its construction-time ground truth: `titlePair`
+    * and `linePairs` carry the (true, corrupted) word-parallel line pairs
+    * (pre-capitalization) so expected pipeline outputs can be derived from
+    * the GENERATOR's knowledge rather than by re-running the engine.
+    */
+  final case class TruePage(
+      row: PageRow,
+      trueText: String,
+      titlePair: (String, String) = ("", ""),
+      linePairs: Seq[(String, String)] = Nil)
 
   val Epoch = 1356998400000000L // 2013-01-01T00:00:00Z in micros
 
@@ -150,7 +159,8 @@ object PagesGen {
     // the upstream `text` hint column deliberately disagrees with html
     // (it keeps the corrupted form and joins lines with spaces)
     val hint = (titleCorr +: lines.map(_._2)).mkString(" ")
-    TruePage(PageRow(url, ts, html.getBytes("UTF-8"), hint, lang), trueText)
+    TruePage(PageRow(url, ts, html.getBytes("UTF-8"), hint, lang), trueText,
+      (titleTrue, titleCorr), lines)
   }
 
   def pages(n: Int, seed: Long = 42L): Seq[TruePage] =

@@ -581,6 +581,21 @@ object SparkEntry {
         .orderBy(col("src"), col("label"))
     }),
 
+    // learned confusion profile (edist.py:69-83 closing the loop): engine
+    // path = segment -> line zip -> xlevenshtein confusions -> distributed
+    // groupBy(left, right).count; oracle = generator-derived expected
+    // counts. The collected top-k of this table IS the ocrPatterns profile
+    // the correction stage broadcasts (Pipeline.learnProfile).
+    "q43_confusion_profile" -> ((s, _) => {
+      import s.implicits._
+      Pipeline.trainingPairs(s, 100)
+        .flatMap { case (ocr, gt) => ConfusionProfile.pairsOf(ocr, gt) }
+        .toDF("pat_left", "pat_right")
+        .groupBy(col("pat_left"), col("pat_right"))
+        .agg(count(lit(1)).as("cnt"))
+        .orderBy(col("pat_left"), col("pat_right"))
+    }),
+
     // ---- pipeline operators (synthetic Pages corpus; non-SQL-expressible,
     //      omitted from oracleSql per the harness contract) ----
 
@@ -1023,6 +1038,10 @@ object SparkEntry {
     "p12_pages_table" ->
       """SELECT CAST(15706 + i // 24 AS INT) AS p_day, count(*) AS n_pages
         |FROM range(100) t(i) GROUP BY p_day ORDER BY p_day""".stripMargin,
+    "q43_confusion_profile" ->
+      """SELECT pat_left, pat_right, cnt
+        |FROM read_parquet('/tmp/graft_expected/confusions.parquet/*.parquet')
+        |ORDER BY pat_left, pat_right""".stripMargin,
     "q16_shingle_jaccard" ->
       """WITH shingles AS (
         |  SELECT DISTINCT doc_id, substr(text, CAST(u AS INT), 12) AS sh

@@ -158,5 +158,27 @@ object Expected {
       (tp.row.url, tp.row.lang, tp.trueText, nCorrectionsOf(i), tp.trueText)
     }.toDF("url", "lang", "corrected_text", "n_corrections", "golden")
       .coalesce(1).write.mode("overwrite").parquet(s"$dir/corrected.parquet")
+
+    // expected confusion-profile counts, aggregated driver-side from the
+    // generator's word-parallel (true, corrupted) pairs — a different data
+    // path than the engine's (segment -> line zip -> line-level alignment
+    // -> distributed groupBy), cross-checking segmentation, line pairing
+    // and the aggregation. The edist kernel itself is shared; its own
+    // vectors live in EdistSpec.
+    val counts = scala.collection.mutable.TreeMap.empty[(String, String), Long]
+    ids.foreach { i =>
+      val tp = PagesGen.page(i)
+      (tp.titlePair +: tp.linePairs).foreach { case (t, c) =>
+        cap(t).split(" ").zip(cap(c).split(" ")).foreach { case (tw, cw) =>
+          if (tw != cw)
+            graft.core.ConfusionProfile.pairsOf(cw, tw).foreach { p =>
+              counts(p) = counts.getOrElse(p, 0L) + 1L
+            }
+        }
+      }
+    }
+    counts.toSeq.map { case ((l, r), c) => (l, r, c) }
+      .toDF("pat_left", "pat_right", "cnt")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/confusions.parquet")
   }
 }

@@ -62,6 +62,56 @@ object Pipeline {
     seg.map(alignPage)
   }
 
+  // ---- profile learning (train path) ----
+
+  /** (masterLine, goldenLine) training pairs through the ENGINE's extract
+    * path: segment the training pages, take the text blocks in reading
+    * order, zip positionally against the golden lines (the role of the
+    * reference's GT-annotated training workspace,
+    * run_training_test.bash:21-31). Golden text is resolved from the page
+    * index carried in the synthetic url.
+    */
+  def trainingPairs(spark: SparkSession, n: Long): Dataset[(String, String)] = {
+    import spark.implicits._
+    generate(spark, n).flatMap { p =>
+      val i = p.url.substring(p.url.lastIndexOf('p') + 1).toLong
+      val golden = PagesGen.page(i).trueText.split("\n")
+      val masters = HtmlBlocks.segment(p.html).filter(_.kind == "text").map(_.text)
+      masters.zip(golden)
+    }
+  }
+
+  /** Learn the OCR confusion profile from aligned training data:
+    * confusions → groupBy(left, right).count() → top-k by frequency.
+    * Deterministic order (count desc, then lexicographic). The collected
+    * profile is tiny (distinct confusion pairs) and is broadcast into the
+    * correction stage — the loop edist.py:69-83 was built to close.
+    */
+  def learnProfile(spark: SparkSession, n: Long = 200,
+      minCount: Long = 5, maxPatterns: Int = 10): Seq[(String, String)] = {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    trainingPairs(spark, n)
+      .flatMap { case (ocr, gt) => ConfusionProfile.pairsOf(ocr, gt) }
+      .toDF("pat_left", "pat_right")
+      .groupBy(col("pat_left"), col("pat_right")).agg(count(lit(1)).as("cnt"))
+      .filter(col("cnt") >= minCount)
+      .orderBy(col("cnt").desc, col("pat_left"), col("pat_right"))
+      .limit(maxPatterns)
+      .collect()
+      .map(r => (r.getString(0), r.getString(1)))
+      .toSeq
+  }
+
+  // learned once per JVM (driver side), then broadcast via the lexicons
+  @volatile private var cachedProfile: Seq[(String, String)] = null
+  def defaultProfile(spark: SparkSession): Seq[(String, String)] = {
+    if (cachedProfile == null) synchronized {
+      if (cachedProfile == null) cachedProfile = learnProfile(spark)
+    }
+    cachedProfile
+  }
+
   // ---- Stage D: correction ----
 
   def correctPage(ap: AlignedPage, lexDe: Lexicon, lexEn: Lexicon): CorrectedPage = {
@@ -89,13 +139,23 @@ object Pipeline {
     CorrectedPage(ap.url, ap.lang, corrected.map(_.text).mkString("\n"), corrected, total)
   }
 
-  def correct(aligned: Dataset[AlignedPage]): Dataset[CorrectedPage] = {
+  /** Correction with the LEARNED confusion profile (default) — the
+    * hard-coded PagesGen.ocrPatterns constants are no longer consumed by
+    * the run path, only by the corpus generator itself.
+    */
+  def correct(aligned: Dataset[AlignedPage]): Dataset[CorrectedPage] =
+    correct(aligned, defaultProfile(aligned.sparkSession))
+
+  def correct(aligned: Dataset[AlignedPage],
+      ocrPatterns: Seq[(String, String)]): Dataset[CorrectedPage] = {
     val spark = aligned.sparkSession
     import spark.implicits._
     // broadcast the lexicons once (the reference loads its model once per
     // process, recognize.py:94-102)
-    val bde = spark.sparkContext.broadcast(PagesGen.lexiconFor("de"))
-    val ben = spark.sparkContext.broadcast(PagesGen.lexiconFor("en"))
+    val bde = spark.sparkContext.broadcast(
+      PagesGen.lexiconFor("de").copy(ocrPatterns = ocrPatterns))
+    val ben = spark.sparkContext.broadcast(
+      PagesGen.lexiconFor("en").copy(ocrPatterns = ocrPatterns))
     aligned.map(ap => correctPage(ap, bde.value, ben.value))
   }
 

@@ -183,3 +183,36 @@ class CorrectorSpec extends AnyFunSuite {
     assert(!changed && kept == "anything")
   }
 }
+
+class ConfusionProfileSpec extends AnyFunSuite {
+  test("pairsOf extracts (truth, misread) patterns with context=0") {
+    assert(ConfusionProfile.pairsOf("wafser", "wasser") == Seq(("s", "f")))
+    assert(ConfusionProfile.pairsOf("strcam", "stream") == Seq(("e", "c")))
+    assert(ConfusionProfile.pairsOf("frorn", "from") == Seq(("m", "rn")))
+    // truth's trailing n captures the corrupted rn's second n: the run
+    // splits into (m, r) + a bare insertion, which is filtered as unusable
+    assert(ConfusionProfile.pairsOf("colurnn", "column") == Seq(("m", "r")))
+    // line-start capitalized corruption survives the edist boundary quirk
+    assert(ConfusionProfile.pairsOf("Rneer und", "Meer und") == Seq(("M", "Rn")))
+    assert(ConfusionProfile.pairsOf("same", "same") == Nil)
+  }
+  test("space-crossing and long pairs are filtered") {
+    assert(ConfusionProfile.usable("m", "rn"))
+    assert(!ConfusionProfile.usable("a b", "ab"))
+    assert(!ConfusionProfile.usable("", "x"))
+    assert(!ConfusionProfile.usable("abcd", "x"))
+  }
+}
+
+class LearnedProfileSpec extends AnyFunSuite {
+  test("learnProfile recovers the injected corruption channel from aligned data") {
+    val spark = SparkTestSession.spark
+    val profile = graft.pipeline.Pipeline.learnProfile(spark, 200)
+    // the three injected patterns must dominate (PagesGen.ocrPatterns is
+    // the generator's channel; the engine must rediscover it, not read it)
+    assert(profile.take(3).toSet == Set(("e", "c"), ("s", "f"), ("m", "rn")),
+      s"learned profile: $profile")
+    // deterministic: count desc, then lexicographic
+    assert(profile == graft.pipeline.Pipeline.learnProfile(spark, 200))
+  }
+}

@@ -58,9 +58,12 @@ final case class AlignedLine(
 )
 
 /** A word with its per-extractor aligned variants
-  * (align/cli.py:141-172 align_word_regions).
+  * (align/cli.py:141-172 align_word_regions) and the master extraction's
+  * per-char (glyph) confidences — the Glyph level of the PAGE-XML
+  * hierarchy (recognize.py:239-265 word_conf_list), which the
+  * Min/Max/AverageOCRCharacterConfidence features consume.
   */
-final case class AlignedWord(variants: Seq[TextEquiv])
+final case class AlignedWord(variants: Seq[TextEquiv], glyphConfs: Seq[Double] = Nil)
 
 /** A correction candidate — the Profiler JSON shape
   * (reference tests/run_training_test.bash:36-45).

@@ -185,10 +185,25 @@ object MultiAlign {
   // ---- alignment application: TextEquiv index/provenance rules ----
 
   /** Input: one line as seen by each extractor. `source` is the extractor's
-    * file-group tag, `lineId` the master line id, `conf` the extractor's
-    * line confidence.
+    * file-group tag, `lineId` the master line id, `conf` the line
+    * confidence ((min+max)/2 fold over word confidences,
+    * recognize.py:262-265). `wordConfs`/`wordCharConfs` carry the
+    * per-word and per-glyph confidence lineage aligned with the version's
+    * own whitespace tokens (empty = legacy constant-conf mode).
     */
-  final case class LineVersion(source: String, lineId: String, text: String, conf: Double)
+  final case class LineVersion(
+      source: String, lineId: String, text: String, conf: Double,
+      wordConfs: IndexedSeq[Double] = IndexedSeq.empty,
+      wordCharConfs: IndexedSeq[Seq[Double]] = IndexedSeq.empty) {
+    def wordConfAt(i: Int): Double =
+      if (i >= 0 && i < wordConfs.length) wordConfs(i) else conf
+    def charConfsAt(i: Int): Seq[Double] =
+      if (i >= 0 && i < wordCharConfs.length) wordCharConfs(i) else Nil
+  }
+
+  /** (min+max)/2 — the reference's confidence fold (recognize.py:262-265). */
+  def confFold(xs: Seq[Double]): Double =
+    if (xs.isEmpty) 0.0 else (xs.min + xs.max) / 2
 
   /** Build the aligned line: line-level variants per align_lines
     * (align/cli.py:82-109) and word-level variants per align_words /
@@ -205,11 +220,15 @@ object MultiAlign {
     }
 
     val wordAligns = alignLineVersions(versions.map(_.text))
-    // word streams; findWord consumes a prefix of each
+    // word streams; findWord consumes a prefix of each. Offsets track each
+    // stream's drop count so matched words map back to their original
+    // token index for the per-word confidence lineage.
     var mwords: IndexedSeq[String] = master.text.split("\\s+").toIndexedSeq.filter(_.nonEmpty)
+    var mOff = 0
     val owords = Array.tabulate(versions.length - 1) { i =>
       versions(i + 1).text.split("\\s+").toIndexedSeq.filter(_.nonEmpty)
     }
+    val oOff = new Array[Int](versions.length - 1)
     val outWords = ArrayBuffer[AlignedWord]()
     var gaveUp = false
     wordAligns.foreach { wa =>
@@ -218,12 +237,13 @@ object MultiAlign {
         mMatch match {
           case Some((mi, mn)) if mn - mi == 1 =>
             mwords = mwords.drop(mi) // rest = regions[i:]
+            mOff += mi
             val variants = ArrayBuffer[TextEquiv]()
             val masterWord = mwords.take(mn - mi)
             variants += TextEquiv(
               1,
               masterWord.mkString(" "),
-              master.conf,
+              master.wordConfAt(mOff),
               "ocrd-cis-word-alignment-master-ocr:" + master.source + "/" + wa.master
             )
             var ok = true
@@ -242,11 +262,14 @@ object MultiAlign {
                   oMatch match {
                     case Some((oi, on)) =>
                       val matched = owords(i).slice(oi, on)
+                      // conf fold over the matched words (recognize.py fold)
+                      val mc = (oi until on).map(k => versions(i + 1).wordConfAt(oOff(i) + k))
                       owords(i) = owords(i).drop(oi)
+                      oOff(i) += oi
                       variants += TextEquiv(
                         i + 2,
                         matched.mkString(" "),
-                        versions(i + 1).conf,
+                        confFold(mc),
                         "ocrd-cis-word-alignment:" + versions(i + 1).source + "/" + matched.mkString(",")
                       )
                     case None =>
@@ -255,7 +278,7 @@ object MultiAlign {
                 }
               }
             }
-            if (ok) outWords += AlignedWord(variants.toSeq)
+            if (ok) outWords += AlignedWord(variants.toSeq, master.charConfsAt(mOff))
           case _ =>
             gaveUp = true // align/cli.py:119-122
         }

@@ -34,8 +34,16 @@ final case class Lexicon(
     /** char trigram -> relative frequency, the stand-in for the reference's
       * 3gs.csv.gz (data/__main__.py:12-13).
       */
-    trigrams: Map[String, Double]
+    trigrams: Map[String, Double],
+    /** learned channel probabilities per OCR pattern (relative confusion
+      * frequency from Pipeline.learnProfile); patterns without a learned
+      * probability fall back to Profiler.DefaultPatternProb.
+      */
+    ocrPatternProb: Map[(String, String), Double] = Map.empty
 ) {
+
+  def patternProb(p: (String, String)): Double =
+    ocrPatternProb.getOrElse(p, Profiler.DefaultPatternProb)
 
   /** delete-1 variants -> dictionary words (SymSpell-style). */
   @transient lazy val deleteIndex: Map[String, Seq[String]] = {
@@ -59,6 +67,22 @@ final case class Lexicon(
 object Profiler {
 
   val MaxCandidates = 10 // reference config.json:9
+
+  /** Channel probability of an OCR pattern with no learned estimate. */
+  val DefaultPatternProb = 0.2
+
+  /** Channel probability of one historical-spelling rewrite. */
+  val HistPatternProb = 0.5
+
+  /** Channel probability per unit of UNEXPLAINED edit distance — generic
+    * edits the confusion profile cannot account for. Candidates reached
+    * through learned patterns must outrank same-frequency generic-edit
+    * candidates: this is what makes the profiler a channel model
+    * (the reference's profiler weights candidates by pattern
+    * probabilities the same way; without it a high-frequency dictionary
+    * word one generic edit away outweighs the pattern-explained truth).
+    */
+  val GenericEditProb = 0.02
 
   /** All single applications of pattern rewrites (each occurrence separately,
     * deterministic left-to-right), tagged with the pattern and position.
@@ -95,7 +119,15 @@ object Profiler {
       if (!found.contains(suggestion)) {
         val d = Edist.levenshtein(token, suggestion)
         if (d <= 3) {
-          val w = lex.freq(modern) / (1.0 + d)
+          // channel model: P(word) x P(observation | word). Pattern-
+          // explained candidates carry the learned pattern probabilities;
+          // unexplained edits pay GenericEditProb per distance unit.
+          val channel =
+            if (hist.nonEmpty || ocr.nonEmpty)
+              ocr.map(p => lex.patternProb((p.left, p.right))).product *
+                math.pow(HistPatternProb, hist.length)
+            else math.pow(GenericEditProb, d)
+          val w = lex.freq(modern) * channel
           found(suggestion) = Candidate(suggestion, modern, dict, hist, ocr, d, w)
         }
       }
@@ -142,22 +174,38 @@ object Profiler {
   }
 }
 
-/** Per-(token, candidate) feature extraction + logistic re-ranker (RR) +
-  * decision maker (DM) — re-expression of the reference's Java ML stage
-  * (feature catalog /root/reference/ocrd_cis/data/config.json: rrFeatures /
-  * dmFeatures; execution contract postcorrect/cli.py:31-46). Weights are
-  * fixed fixture constants so ranking and decisions are fully deterministic
-  * (the reference ships a pre-trained model.zip the same way).
+/** Per-(token, candidate) feature extraction + lexicon-extension model
+  * (LE) + logistic re-ranker (RR) + decision maker (DM) — re-expression of
+  * the reference's Java ML stage (feature catalogs
+  * /root/reference/ocrd_cis/data/config.json: leFeatures / rrFeatures /
+  * dmFeatures with their `deactivate`-class filtering; execution contract
+  * postcorrect/cli.py:31-46; LE flow aio/aio.py:503-537). Weights are
+  * TRAINED by `graft.tools.Train` on the synthetic GT corpus and shipped
+  * as a classpath resource (the reference ships a pre-trained model.zip
+  * the same way; run_training_test.bash:49-63 rebuilds it).
   */
 object Corrector {
 
-  /** Token context: the master token plus what the other extractors saw. */
+  /** Token context: the master token plus what the other extractors saw,
+    * with the per-glyph confidence lineage (recognize.py:239-265).
+    * `raw` is the pre-case-folding core (case-class features read it);
+    * `token` is the folded form candidates are generated for.
+    */
   final case class TokenCtx(
       token: String,
       otherOcr: Seq[String],
       conf: Double,
-      linePos: Double
-  )
+      linePos: Double,
+      raw: String = "",
+      glyphConfs: Seq[Double] = Nil,
+      lineOverlap: Double = 1.0
+  ) {
+    def rawOrToken: String = if (raw.nonEmpty) raw else token
+    def maxCharConf: Double = if (glyphConfs.nonEmpty) glyphConfs.max else conf
+    def minCharConf: Double = if (glyphConfs.nonEmpty) glyphConfs.min else conf
+    def avgCharConf: Double =
+      if (glyphConfs.nonEmpty) glyphConfs.sum / glyphConfs.length else conf
+  }
 
   def lengthClass(len: Int, short: Int, medium: Int, long: Int): Double =
     if (len <= short) 0.0 else if (len <= medium) 1.0 else if (len <= long) 2.0 else 3.0
@@ -185,19 +233,23 @@ object Corrector {
   }
 
   /** RR feature vector, fixed order per config.json rrFeatures
-    * (config.json:81-216). 17 features.
+    * (config.json:81-186), with the `deactivate`-class
+    * CandidateOCRPatternConfidenceFeature filtered out like the
+    * reference's filterClasses — 23 active features.
     */
   def rrFeatures(t: TokenCtx, c: Candidate, lex: Lexicon): Array[Double] = {
     val (tMax3, tMin3) = trigramStats(t.token, lex.trigrams)
     val (cMax3, cMin3) = trigramStats(c.suggestion, lex.trigrams)
+    val histConf = if (c.histPatterns.nonEmpty) 1.0 else 0.0
     Array(
       lengthClass(t.token.length, 3, 7, 13), // TokenLengthClass
-      caseClass(t.token), // Tokenshape
+      caseClass(t.rawOrToken), // Tokenshape
       t.token.length.toDouble, // TokenLength
       tMax3, // MaxCharTrigram
       tMin3, // MinCharTrigram
-      t.conf, // MaxOCRConfidence (surrogate)
+      t.maxCharConf, // MaxOCRConfidence (max glyph conf)
       t.otherOcr.count(_ == t.token).toDouble, // MatchingOCRTokens
+      t.lineOverlap, // LineOverlap
       t.linePos, // LinePosition
       t.conf, // WordConfidence
       caseClass(c.suggestion), // CandidateCaseClass
@@ -208,30 +260,80 @@ object Corrector {
       t.otherOcr.count(_ == c.suggestion).toDouble, // CandidateMatchingOCRs
       cMax3, // CandidateMaxCharNGram
       cMin3, // CandidateMinCharNGram
+      histConf, // CandidateMaxHistoricalPatternConfidence
+      histConf, // CandidateMinHistoricalPatternConfidence
       c.weight, // CandidateVoteWeight
       lex.freq(c.modern), // CandidateUnigram
-      lex.freq(t.token), // UnigramOCRRelativeFrequency
-      math.min(c.distance, 5).toDouble, // LevenshteinDistance (maxThreshold 5)
-      if (c.ocrPatterns.nonEmpty) 1.0 else 0.0 // CandidateOCRPatternConfidence
+      lex.freq(t.token) // UnigramOCRRelativeFrequency
     )
   }
 
-  /** Fixed RR logistic weights (fixture constants; one per rrFeatures slot). */
-  val rrWeights: Array[Double] = Array(
-    0.05, -0.05, 0.01, 0.4, 0.8, 0.2, 0.3, 0.0, 0.2,
-    -0.05, 0.3, 0.05, 0.01, 1.2, 0.8, 0.4, 0.8, 2.0, 1.5, -0.6, -0.9, 2.0
-  )
-  val rrBias: Double = -0.5
+  /** LE feature vector, fixed order per config.json leFeatures
+    * (config.json:15-80) — 15 features. The HighestRankedCandidate*
+    * features read the PROFILER's ranking (vote weight order), since LE
+    * runs before RR in the reference flow (aio/aio.py:503-520).
+    */
+  def leFeatures(t: TokenCtx, cands: Seq[Candidate], lex: Lexicon): Array[Double] = {
+    val best = cands.headOption
+    val next = if (cands.length > 1) Some(cands(1)) else None
+    Array(
+      lengthClass(t.token.length, 3, 8, 13), // TokenLengthClass (medium=8)
+      caseClass(t.rawOrToken), // TokenCaseClass
+      t.token.length.toDouble, // TokenLength
+      t.maxCharConf, // MaxOCRConfidence
+      t.otherOcr.count(_ == t.token).toDouble, // MatchingOCRTokens
+      t.lineOverlap, // LineOverlap
+      t.linePos, // LinePosition
+      t.conf, // WordConfidence
+      best.map(c => if (c.suggestion == t.token) 1.0 else 0.0).getOrElse(0.0), // HighestRankedCandidateMatchesOCR
+      best.map(_.histPatterns.length.toDouble).getOrElse(0.0), // ...HistPatternsDistance
+      best.map(_.ocrPatterns.length.toDouble).getOrElse(0.0), // ...OCRPatternsDistance
+      best.map(b => b.weight - next.map(_.weight).getOrElse(0.0)).getOrElse(0.0), // ...DistanceToNext
+      best.map(_.weight).getOrElse(0.0), // ...VoteWeight
+      lex.freq(t.token), // UnigramOCRRelativeFrequency
+      best.map(c => math.min(c.distance, 5).toDouble).getOrElse(5.0) // LevenshteinDistance (maxThreshold 5)
+    )
+  }
+
+  /** DM feature vector — the 3 ACTIVE dmFeatures (config.json:187-215;
+    * OCRPatternConfidence and the char-confidence features carry
+    * classes=["deactivate"] and are filtered like the reference).
+    */
+  def dmFeatures(ranked: Seq[Ranked]): Array[Double] = {
+    val best = ranked.head
+    val diffToNext =
+      if (ranked.length > 1) best.score - ranked(1).score else best.score
+    Array(
+      best.score, // BestRank
+      diffToNext, // BestRankDifferenceToNext
+      best.candidate.weight // CandidateVoteWeight
+    )
+  }
 
   def sigmoid(x: Double): Double = 1.0 / (1.0 + math.exp(-x))
 
-  def rrScore(t: TokenCtx, c: Candidate, lex: Lexicon): Double = {
-    val f = rrFeatures(t, c, lex)
-    var s = rrBias
+  def dot(f: Array[Double], w: Array[Double], bias: Double): Double = {
+    var s = bias
     var i = 0
-    while (i < f.length) { s += f(i) * rrWeights(i); i += 1 }
-    sigmoid(s)
+    while (i < f.length) { s += f(i) * w(i); i += 1 }
+    s
   }
+
+  /** Trained logistic weights (graft.tools.Train; classpath resource).
+    * `modelOverride` is a single-JVM hook for Train's validate step and
+    * tests; production reads the shipped resource on every executor.
+    */
+  @volatile var modelOverride: Option[TrainedModel] = None
+  def model: TrainedModel = modelOverride.getOrElse(TrainedModel.default)
+
+  def rrScore(t: TokenCtx, c: Candidate, lex: Lexicon): Double =
+    sigmoid(dot(rrFeatures(t, c, lex), model.rr, model.rrBias))
+
+  /** LE acceptance probability: is this OOV token a valid word that should
+    * extend the lexicon? (EvalDLE role, aio/aio.py:510-520.)
+    */
+  def leScore(t: TokenCtx, cands: Seq[Candidate], lex: Lexicon): Double =
+    sigmoid(dot(leFeatures(t, cands, lex), model.le, model.leBias))
 
   final case class Ranked(candidate: Candidate, score: Double, rank: Int)
 
@@ -243,11 +345,8 @@ object Corrector {
       .zipWithIndex
       .map { case ((c, s), i) => Ranked(c, s, i + 1) }
 
-  /** DM decision over the best-ranked candidate (dmFeatures: BestRank,
-    * BestRankDifferenceToNext, CandidateVoteWeight,
-    * CandidateOCRPatternConfidence — config.json:218-247).
-    * Accept the correction iff the DM score clears the threshold and the
-    * suggestion actually differs.
+  /** DM decision over the best-ranked candidate. Accept the correction iff
+    * the trained DM clears the threshold and the suggestion differs.
     */
   val dmThreshold = 0.5
   def decide(t: TokenCtx, ranked: Seq[Ranked], lex: Lexicon): Option[String] = {
@@ -255,37 +354,52 @@ object Corrector {
     val best = ranked.head
     if (best.candidate.suggestion == t.token) return None
     if (lex.contains(t.token)) return None // keep in-lexicon tokens
-    val diffToNext =
-      if (ranked.length > 1) best.score - ranked(1).score else best.score
-    val ocrPat = if (best.candidate.ocrPatterns.nonEmpty) 1.0 else 0.0
-    val dm = sigmoid(
-      2.5 * best.score + 1.5 * diffToNext + 1.0 * best.candidate.weight +
-        1.5 * ocrPat - 1.5
-    )
+    val dm = sigmoid(dot(dmFeatures(ranked), model.dm, model.dmBias))
     if (dm > dmThreshold) Some(best.candidate.suggestion) else None
   }
 
-  /** Correct one token preserving its punctuation shell and leading-case:
-    * split off non-letter prefix/suffix, correct the case-folded core, then
-    * re-apply capitalization.
-    */
-  def correctToken(raw: String, ctx: Seq[String], conf: Double, linePos: Double, lex: Lexicon): (String, Boolean) = {
+  /** Build the ML token context from a token's punctuation-stripped core. */
+  def contextOf(raw: String, ctx: Seq[String], wordConf: Double,
+      glyphConfs: Seq[Double], linePos: Double, lineOverlap: Double): Option[TokenCtx] = {
     val start = raw.indexWhere(_.isLetterOrDigit)
-    if (start < 0) return (raw, false)
+    if (start < 0) return None
     val stop = raw.lastIndexWhere(_.isLetterOrDigit) + 1
     val core = raw.substring(start, stop)
-    val folded = core.toLowerCase
-    val ctxFolded = ctx.map(_.toLowerCase)
-    val t = TokenCtx(folded, ctxFolded, conf, linePos)
-    val cands = Profiler.candidates(folded, lex)
-    decide(t, rank(t, cands, lex), lex) match {
-      case Some(sug) =>
-        val cased =
-          if (core.nonEmpty && core.head.isUpper && sug.nonEmpty)
-            sug.head.toUpper + sug.tail
-          else sug
-        (raw.substring(0, start) + cased + raw.substring(stop), true)
+    Some(TokenCtx(core.toLowerCase, ctx.map(_.toLowerCase), wordConf, linePos,
+      raw = core, glyphConfs = glyphConfs.slice(start, stop), lineOverlap = lineOverlap))
+  }
+
+  /** Correct one token preserving its punctuation shell and leading-case:
+    * split off non-letter prefix/suffix, correct the case-folded core
+    * (unless the LE model accepted it into the dynamic lexicon), then
+    * re-apply capitalization. `runLE`: the reference's config.json:2 gate.
+    */
+  def correctToken(raw: String, ctx: Seq[String], wordConf: Double,
+      glyphConfs: Seq[Double], linePos: Double, lineOverlap: Double,
+      lex: Lexicon, runLE: Boolean): (String, Boolean) = {
+    contextOf(raw, ctx, wordConf, glyphConfs, linePos, lineOverlap) match {
       case None => (raw, false)
+      case Some(t) =>
+        val cands = Profiler.candidates(t.token, lex)
+        // LE gate: an OOV token the LE model accepts is a valid word —
+        // extend the (document-local) lexicon instead of correcting
+        if (runLE && !lex.contains(t.token) && leScore(t, cands, lex) > 0.5)
+          return (raw, false)
+        decide(t, rank(t, cands, lex), lex) match {
+          case Some(sug) =>
+            val cased =
+              if (t.raw.nonEmpty && t.raw.head.isUpper && sug.nonEmpty)
+                sug.head.toUpper + sug.tail
+              else sug
+            val start = raw.indexWhere(_.isLetterOrDigit)
+            val stop = raw.lastIndexWhere(_.isLetterOrDigit) + 1
+            (raw.substring(0, start) + cased + raw.substring(stop), true)
+          case None => (raw, false)
+        }
     }
   }
+
+  /** Legacy single-conf entry point (tests / simple callers). */
+  def correctToken(raw: String, ctx: Seq[String], conf: Double, linePos: Double, lex: Lexicon): (String, Boolean) =
+    correctToken(raw, ctx, conf, Nil, linePos, 1.0, lex, runLE = true)
 }

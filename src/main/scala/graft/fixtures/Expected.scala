@@ -132,17 +132,22 @@ object Expected {
       .toDF("url", "extracted_text")
       .coalesce(1).write.mode("overwrite").parquet(s"$dir/extracted.parquet")
 
-    // line variants: per text block, master (index 1, x-master, conf .9)
-    // and the alt reading (index 2, x-alt, conf .8) with the provenance
-    // tags of align/cli.py:96-108
+    // line variants: per text block, master (index 1, x-master) and the
+    // alt reading (index 2, x-alt) with the provenance tags of
+    // align/cli.py:96-108. Line confidences recompute the engine's
+    // deterministic glyph-conf surrogate fold (ConfSurrogate is a stub for
+    // a recognizer that doesn't ship here, so the surrogate itself is the
+    // spec; the value cross-checked is the variant/confidence PLUMBING).
     val variants = ids.flatMap { i =>
       val url = PagesGen.page(i).row.url
       blocksOf(i).filter(_.kind == "text").flatMap { b =>
         val alt = graft.core.TextNorm.normalize(b.text.replace("rn", "m").replace("c", "e"))
         Seq(
-          (url, b.block_id, 1, b.text, 0.9,
+          (url, b.block_id, 1, b.text,
+            graft.core.ConfSurrogate.lineConf("x-master", url, b.block_id, b.text, 0.9),
             s"ocrd-cis-line-alignment-master-ocr:x-master/${b.block_id}"),
-          (url, b.block_id, 2, alt, 0.8,
+          (url, b.block_id, 2, alt,
+            graft.core.ConfSurrogate.lineConf("x-alt", url, b.block_id, alt, 0.8),
             s"ocrd-cis-line-alignment:x-alt/${b.block_id}"))
       }
     }

@@ -123,11 +123,25 @@ object PagesGen {
     val url = s"https://host$host.example/p$i"
 
     def sampleWord(): String = words(rng.nextInt(words.length))
+    // proper-noun "entity": a valid word NOT in any lexicon, deliberately
+    // within edit distance 1 of a lexicon word so a lexicon-only corrector
+    // would wrongly "fix" it — the case the LE model must protect
+    // (dynamic lexicon extension, aio/aio.py:503-537). Entities are never
+    // corrupted: they are correct text.
+    def entityWord(): String = {
+      var ent = sampleWord() + "a"
+      while (lex.contains(ent)) ent = sampleWord() + "a"
+      ent.capitalize
+    }
     def line(n: Int): (String, String) = { // (true, corrupted)
-      val ws = Seq.fill(n)(sampleWord())
-      val pairs = ws.map { w =>
-        if (rng.nextDouble() < 0.15) corrupt(w, rng, lex).map((w, _)).getOrElse((w, w))
-        else (w, w)
+      val pairs = Seq.fill(n) {
+        if (rng.nextDouble() < 0.04) {
+          val e = entityWord(); (e, e)
+        } else {
+          val w = sampleWord()
+          if (rng.nextDouble() < 0.15) corrupt(w, rng, lex).map((w, _)).getOrElse((w, w))
+          else (w, w)
+        }
       }
       (pairs.map(_._1).mkString(" "), pairs.map(_._2).mkString(" "))
     }

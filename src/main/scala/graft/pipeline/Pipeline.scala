@@ -26,14 +26,16 @@ object Pipeline {
   /** Candidate extractor k — the role of the k OCR engines
     * (ocropy/recognize.py:119-303). Extractor 0 is the master; extractor 1
     * is a deliberately different reading (its systematic confusions feed the
-    * MatchingOCRTokens/CandidateMatchingOCRs features).
+    * MatchingOCRTokens/CandidateMatchingOCRs features). `base` is the
+    * extractor's confidence ceiling; per-char confidences jitter below it.
     */
-  final case class Extractor(name: String, conf: Double, transform: String => String)
+  final case class Extractor(name: String, base: Double, transform: String => String)
 
   val extractors: Seq[Extractor] = Seq(
     Extractor("x-master", 0.9, identity),
     Extractor("x-alt", 0.8, s => s.replace("rn", "m").replace("c", "e"))
   )
+
 
   // ---- Stage A: segmentation ----
 
@@ -50,7 +52,11 @@ object Pipeline {
   def alignPage(sp: SegmentedPage): AlignedPage = {
     val lines = sp.blocks.filter(_.kind == "text").map { b =>
       val versions = extractors.map { ex =>
-        MultiAlign.LineVersion(ex.name, b.id, TextNorm.normalize(ex.transform(b.text)), ex.conf)
+        val txt = TextNorm.normalize(ex.transform(b.text))
+        val wcc = ConfSurrogate.wordCharConfs(ex.name, sp.url, b.id, txt, ex.base)
+        val wc = wcc.map(MultiAlign.confFold)
+        // line conf = (min+max)/2 over word confs (recognize.py:262-265)
+        MultiAlign.LineVersion(ex.name, b.id, txt, MultiAlign.confFold(wc), wc, wcc)
       }
       MultiAlign.alignLine(versions, b.span)
     }
@@ -81,6 +87,15 @@ object Pipeline {
     }
   }
 
+  /** A learned confusion profile: the pattern list (count-desc order) plus
+    * each pattern's relative channel probability (its share of all
+    * observed confusions) — the numbers Profiler's channel model weights
+    * candidates with.
+    */
+  final case class Profile(
+      patterns: Seq[(String, String)],
+      probs: Map[(String, String), Double])
+
   /** Learn the OCR confusion profile from aligned training data:
     * confusions → groupBy(left, right).count() → top-k by frequency.
     * Deterministic order (count desc, then lexicographic). The collected
@@ -88,10 +103,10 @@ object Pipeline {
     * correction stage — the loop edist.py:69-83 was built to close.
     */
   def learnProfile(spark: SparkSession, n: Long = 200,
-      minCount: Long = 5, maxPatterns: Int = 10): Seq[(String, String)] = {
+      minCount: Long = 5, maxPatterns: Int = 10): Profile = {
     import spark.implicits._
     import org.apache.spark.sql.functions._
-    trainingPairs(spark, n)
+    val top = trainingPairs(spark, n)
       .flatMap { case (ocr, gt) => ConfusionProfile.pairsOf(ocr, gt) }
       .toDF("pat_left", "pat_right")
       .groupBy(col("pat_left"), col("pat_right")).agg(count(lit(1)).as("cnt"))
@@ -99,13 +114,15 @@ object Pipeline {
       .orderBy(col("cnt").desc, col("pat_left"), col("pat_right"))
       .limit(maxPatterns)
       .collect()
-      .map(r => (r.getString(0), r.getString(1)))
+      .map(r => ((r.getString(0), r.getString(1)), r.getLong(2)))
       .toSeq
+    val total = top.map(_._2).sum.max(1L).toDouble
+    Profile(top.map(_._1), top.map { case (p, c) => p -> (c / total) }.toMap)
   }
 
   // learned once per JVM (driver side), then broadcast via the lexicons
-  @volatile private var cachedProfile: Seq[(String, String)] = null
-  def defaultProfile(spark: SparkSession): Seq[(String, String)] = {
+  @volatile private var cachedProfile: Profile = null
+  def defaultProfile(spark: SparkSession): Profile = {
     if (cachedProfile == null) synchronized {
       if (cachedProfile == null) cachedProfile = learnProfile(spark)
     }
@@ -114,22 +131,32 @@ object Pipeline {
 
   // ---- Stage D: correction ----
 
-  def correctPage(ap: AlignedPage, lexDe: Lexicon, lexEn: Lexicon): CorrectedPage = {
+  def correctPage(ap: AlignedPage, lexDe: Lexicon, lexEn: Lexicon,
+      runLE: Boolean = true): CorrectedPage = {
     val lex = if (ap.lang == "de") lexDe else lexEn
     var total = 0
     val corrected = ap.lines.map { line =>
-      val master = line.variants.head.text
-      val tokens = master.split(" ", -1).toIndexedSeq
-      // per-token view of what the other extractors saw, via the aligned
-      // word variants when available
-      val otherByIdx: Map[Int, Seq[String]] =
-        line.words.zipWithIndex.map { case (w, i) => i -> w.variants.tail.map(_.text) }.toMap
+      val master = line.variants.head
+      val tokens = master.text.split(" ", -1).toIndexedSeq
+      // LineOverlapWithMasterOCR: best normalized similarity of a support
+      // line against the master line
+      val lineOverlap = line.variants.drop(1).map { v =>
+        val mx = math.max(master.text.length, v.text.length).max(1)
+        1.0 - Edist.levenshtein(master.text, v.text).toDouble / mx
+      }.maxOption.getOrElse(1.0)
+      // per-token view of what the other extractors saw + the word/glyph
+      // confidence lineage, via the aligned words when available
+      val wordByIdx: Map[Int, AlignedWord] =
+        line.words.zipWithIndex.map { case (w, i) => i -> w }.toMap
       var n = 0
       val out = tokens.zipWithIndex.map { case (tok, i) =>
-        val ctx = otherByIdx.getOrElse(i, Nil)
+        val word = wordByIdx.get(i)
+        val ctx = word.map(_.variants.drop(1).map(_.text)).getOrElse(Nil)
+        val wordConf = word.map(_.variants.head.conf).getOrElse(master.conf)
+        val glyphs = word.map(_.glyphConfs).getOrElse(Nil)
         val linePos = if (tokens.length <= 1) 0.0 else i.toDouble / (tokens.length - 1)
-        val (fixed, changed) =
-          Corrector.correctToken(tok, ctx, line.variants.head.conf, linePos, lex)
+        val (fixed, changed) = Corrector.correctToken(
+          tok, ctx, wordConf, glyphs, linePos, lineOverlap, lex, runLE)
         if (changed) n += 1
         fixed
       }
@@ -141,27 +168,79 @@ object Pipeline {
 
   /** Correction with the LEARNED confusion profile (default) — the
     * hard-coded PagesGen.ocrPatterns constants are no longer consumed by
-    * the run path, only by the corpus generator itself.
+    * the run path, only by the corpus generator itself. `runLE` is the
+    * reference's config.json:2 gate: the trained LE model protects
+    * valid-but-out-of-lexicon tokens (proper nouns) from "correction" by
+    * extending the lexicon on the fly (aio/aio.py:503-537). LE here is
+    * applied per token occurrence (document-local dynamic lexicon), which
+    * keeps the chain shuffle-free, streaming-safe and resume-deterministic;
+    * [[dynamicLexicon]] is the corpus-global aggregation variant.
     */
   def correct(aligned: Dataset[AlignedPage]): Dataset[CorrectedPage] =
     correct(aligned, defaultProfile(aligned.sparkSession))
 
+  def lexiconWith(lang: String, profile: Profile): Lexicon =
+    PagesGen.lexiconFor(lang).copy(
+      ocrPatterns = profile.patterns, ocrPatternProb = profile.probs)
+
   def correct(aligned: Dataset[AlignedPage],
-      ocrPatterns: Seq[(String, String)]): Dataset[CorrectedPage] = {
+      profile: Profile,
+      runLE: Boolean = true): Dataset[CorrectedPage] = {
     val spark = aligned.sparkSession
     import spark.implicits._
     // broadcast the lexicons once (the reference loads its model once per
     // process, recognize.py:94-102)
-    val bde = spark.sparkContext.broadcast(
-      PagesGen.lexiconFor("de").copy(ocrPatterns = ocrPatterns))
-    val ben = spark.sparkContext.broadcast(
-      PagesGen.lexiconFor("en").copy(ocrPatterns = ocrPatterns))
-    aligned.map(ap => correctPage(ap, bde.value, ben.value))
+    val bde = spark.sparkContext.broadcast(lexiconWith("de", profile))
+    val ben = spark.sparkContext.broadcast(lexiconWith("en", profile))
+    aligned.map(ap => correctPage(ap, bde.value, ben.value, runLE))
+  }
+
+  /** Corpus-global dynamic lexicon (the reference's dynamiclex artifact,
+    * aio/aio.py:521-528): every OOV token the LE model accepts anywhere in
+    * the corpus, aggregated per language. One small groupBy whose key space
+    * is the accepted vocabulary; the collected result is a broadcastable
+    * artifact. Batch-only (a streaming corpus has no global view).
+    */
+  def dynamicLexicon(aligned: Dataset[AlignedPage],
+      profile: Profile): Map[String, Set[String]] = {
+    val spark = aligned.sparkSession
+    import spark.implicits._
+    val bde = spark.sparkContext.broadcast(lexiconWith("de", profile))
+    val ben = spark.sparkContext.broadcast(lexiconWith("en", profile))
+    aligned.flatMap { ap =>
+      val lex = if (ap.lang == "de") bde.value else ben.value
+      ap.lines.flatMap { line =>
+        val master = line.variants.head
+        val tokens = master.text.split(" ", -1).toIndexedSeq
+        val lineOverlap = line.variants.drop(1).map { v =>
+          val mx = math.max(master.text.length, v.text.length).max(1)
+          1.0 - Edist.levenshtein(master.text, v.text).toDouble / mx
+        }.maxOption.getOrElse(1.0)
+        val wordByIdx = line.words.zipWithIndex.map { case (w, i) => i -> w }.toMap
+        tokens.zipWithIndex.flatMap { case (tok, i) =>
+          val word = wordByIdx.get(i)
+          val linePos = if (tokens.length <= 1) 0.0 else i.toDouble / (tokens.length - 1)
+          Corrector.contextOf(tok,
+            word.map(_.variants.drop(1).map(_.text)).getOrElse(Nil),
+            word.map(_.variants.head.conf).getOrElse(master.conf),
+            word.map(_.glyphConfs).getOrElse(Nil), linePos, lineOverlap)
+            .filter(t => !lex.contains(t.token) &&
+              Corrector.leScore(t, Profiler.candidates(t.token, lex), lex) > 0.5)
+            .map(t => (ap.lang, t.token))
+        }
+      }
+    }.distinct().collect().groupBy(_._1).map { case (l, ws) => l -> ws.map(_._2).toSet }
   }
 
   /** Full pipeline: one narrow map chain, zero shuffles. */
   def run(pages: Dataset[PageRow]): Dataset[CorrectedPage] =
     correct(align(segment(pages)))
+
+  /** Full pipeline with an explicit runLE gate (config.json:2). */
+  def run(pages: Dataset[PageRow], runLE: Boolean): Dataset[CorrectedPage] = {
+    val aligned = align(segment(pages))
+    correct(aligned, defaultProfile(pages.sparkSession), runLE)
+  }
 
   /** Generate the synthetic corpus as a distributed Dataset (each row is a
     * pure function of its index — no driver-side materialization).

@@ -210,8 +210,11 @@ class LearnedProfileSpec extends AnyFunSuite {
     val profile = graft.pipeline.Pipeline.learnProfile(spark, 200)
     // the three injected patterns must dominate (PagesGen.ocrPatterns is
     // the generator's channel; the engine must rediscover it, not read it)
-    assert(profile.take(3).toSet == Set(("e", "c"), ("s", "f"), ("m", "rn")),
+    assert(profile.patterns.take(3).toSet == Set(("e", "c"), ("s", "f"), ("m", "rn")),
       s"learned profile: $profile")
+    // channel probabilities are relative confusion frequencies
+    assert(profile.probs.values.sum > 0.999 && profile.probs.values.sum < 1.001)
+    assert(profile.probs(("e", "c")) > profile.probs(("m", "rn")))
     // deterministic: count desc, then lexicographic
     assert(profile == graft.pipeline.Pipeline.learnProfile(spark, 200))
   }

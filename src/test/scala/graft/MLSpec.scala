@@ -1,0 +1,113 @@
+package graft
+
+import graft.core._
+import graft.fixtures.PagesGen
+import graft.pipeline.Pipeline
+import org.scalatest.funsuite.AnyFunSuite
+
+/** ML-stage specs: the leFeatures/rrFeatures/dmFeatures catalogs
+  * (config.json:15-216 with filterClasses=deactivate), the trained model
+  * resource, the runLE lexicon-extension gate (aio/aio.py:503-537), and
+  * the per-char confidence lineage (recognize.py:239-265).
+  */
+class FeatureCatalogSpec extends AnyFunSuite {
+  private val lex = PagesGen.lexiconFor("en")
+  private val t = Corrector.TokenCtx("fort", Seq("fort"), 0.87, 0.0,
+    raw = "Fort", glyphConfs = Seq(0.9, 0.86, 0.88, 0.84), lineOverlap = 0.93)
+  private val cands = Profiler.candidates("fort", lex)
+
+  test("rrFeatures has the 23 active slots of config.json rrFeatures") {
+    assert(cands.nonEmpty)
+    assert(Corrector.rrFeatures(t, cands.head, lex).length == 23)
+  }
+
+  test("leFeatures has the 15 slots of config.json leFeatures, fixed order") {
+    val f = Corrector.leFeatures(t, cands, lex)
+    assert(f.length == 15)
+    assert(f(0) == Corrector.lengthClass(4, 3, 8, 13)) // TokenLengthClass medium=8
+    assert(f(1) == Corrector.caseClass("Fort")) // TokenCaseClass reads the raw core
+    assert(f(2) == 4.0) // TokenLength
+    assert(f(3) == 0.9) // MaxOCRConfidence = max glyph conf
+    assert(f(5) == 0.93) // LineOverlap
+    assert(f(14) == math.min(cands.head.distance, 5).toDouble) // LevenshteinDistance
+  }
+
+  test("dmFeatures has the 3 ACTIVE dm slots (deactivated ones filtered)") {
+    val ranked = Corrector.rank(t, cands, lex)
+    assert(Corrector.dmFeatures(ranked).length == 3)
+  }
+
+  test("glyph-conf folds: word=(min+max)/2 over glyphs, line over words") {
+    assert(MultiAlign.confFold(Seq(0.8, 0.9, 0.86)) == (0.8 + 0.9) / 2)
+    val wcc = ConfSurrogate.wordCharConfs("x", "u", "b0001", "ab cd", 0.9)
+    assert(wcc.length == 2 && wcc.forall(_.length == 2))
+    assert(wcc.flatten.forall(c => c <= 0.9 && c > 0.85))
+  }
+}
+
+class ChannelModelSpec extends AnyFunSuite {
+  test("pattern-explained candidates outrank generic edits of higher-frequency words") {
+    // 'fort' (corruption of 'sort', s->f) is 1 generic edit from 'for'
+    // (6x the unigram frequency); the channel model must still put the
+    // pattern-explained 'sort' first
+    val lex = PagesGen.lexiconFor("en").copy(
+      ocrPatterns = Seq(("e", "c"), ("s", "f"), ("m", "rn")),
+      ocrPatternProb = Map(("e", "c") -> 0.55, ("s", "f") -> 0.25, ("m", "rn") -> 0.13))
+    val cands = Profiler.candidates("fort", lex)
+    assert(cands.head.suggestion == "sort", s"got ${cands.map(_.suggestion)}")
+    assert(cands.head.ocrPatterns.nonEmpty)
+  }
+}
+
+class RunLESpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+
+  test("runLE protects entities: disabling it breaks golden parity") {
+    import spark.implicits._
+    val n = 120
+    val pages = Pipeline.generate(spark, n)
+    val golden = (0 until n).map { i =>
+      val tp = PagesGen.page(i.toLong); tp.row.url -> tp.trueText
+    }.toMap
+    val withLE = Pipeline.run(pages, runLE = true)
+      .map(c => (c.url, c.text)).collect().toMap
+    assert(withLE.forall { case (u, t) => golden(u) == t })
+    // without LE, some entity (valid OOV proper noun) gets "corrected"
+    val withoutLE = Pipeline.run(pages, runLE = false)
+      .map(c => (c.url, c.text)).collect().toMap
+    val broken = withoutLE.count { case (u, t) => golden(u) != t }
+    assert(broken > 0, "expected runLE=false to change at least one decision")
+  }
+
+  test("corpus-global dynamic lexicon agrees with page-local LE decisions") {
+    import spark.implicits._
+    val aligned = Pipeline.align(Pipeline.segment(Pipeline.generate(spark, 60)))
+    val profile = Pipeline.defaultProfile(spark)
+    val dyn = Pipeline.dynamicLexicon(aligned, profile)
+    val all = dyn.values.flatten.toSet
+    // every accepted word is a true entity (valid OOV), none is a corruption
+    val entities = (0 until 60).flatMap { i =>
+      val tp = PagesGen.page(i.toLong)
+      (tp.titlePair +: tp.linePairs).flatMap(_._1.split(" "))
+        .filterNot(w => PagesGen.lexiconFor(tp.row.lang).contains(w.toLowerCase))
+    }.map(_.toLowerCase).toSet
+    assert(all.subsetOf(entities), s"non-entities accepted: ${all -- entities}")
+    assert(all.nonEmpty)
+  }
+}
+
+class TrainSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+
+  test("training is deterministic and the shipped model round-trips") {
+    val a = graft.tools.Train.train(spark, 60)
+    val b = graft.tools.Train.train(spark, 60)
+    assert(a.rr.sameElements(b.rr) && a.dm.sameElements(b.dm) && a.le.sameElements(b.le))
+    // shipped resource parses and has the right arity
+    val m = TrainedModel.default
+    assert(m.rr.length == 23 && m.le.length == 15 && m.dm.length == 3)
+    // round-trip through render/parse
+    val rt = TrainedModel.parse(TrainedModel.render(m, "rt").linesIterator)
+    assert(rt.rr.sameElements(m.rr) && rt.leBias == m.leBias)
+  }
+}

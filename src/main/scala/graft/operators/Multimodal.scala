@@ -102,6 +102,11 @@ object Multimodal {
         (0 until frames).iterator.map { i =>
           val start = (n.toLong - frameBytes).max(0L) * i / math.max(1, frames - 1).toLong
           val stop = math.min(n.toLong, start + frameBytes)
+          // in-memory Array[Byte] payloads are < 2 GiB by JVM construction,
+          // so the Int narrowing is safe; keep the invariant explicit in
+          // case a future chunked-payload type flows through here
+          require(stop <= Int.MaxValue.toLong,
+            s"frame span [$start,$stop) exceeds in-memory byte-array bounds")
           Frame(r.url, i, Span(start, stop),
             java.util.Arrays.copyOfRange(r.media, start.toInt, stop.toInt))
         }

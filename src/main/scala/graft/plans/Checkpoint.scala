@@ -1,9 +1,9 @@
 package graft.plans
 
-import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.hadoop.fs.{FileSystem, Path}
+import org.apache.spark.TaskContext
+import org.apache.spark.sql.{DataFrame, Encoders, SaveMode, SparkSession}
 import org.apache.spark.sql.functions._
-import java.nio.file.{Files, Paths, StandardCopyOption}
-import scala.jdk.CollectionConverters._
 
 /** Per-partition checkpoint ledger — the engine's resume substrate.
   *
@@ -13,14 +13,25 @@ import scala.jdk.CollectionConverters._
   * must be finer than a whole stage, so this module re-expresses that
   * semantics per *bucket*: rows are hash-bucketed on the stage key, each
   * bucket commits independently (dynamic partition overwrite = exactly-once
-  * per bucket), and a JSON ledger records bucket id, row count, byte size
-  * and wall time — the lineage + throughput metrics the north rule asks
-  * every stage to emit. A rerun anti-joins completed buckets away and
-  * processes only the remainder; a bucket that crashed mid-write is
-  * rewritten wholesale (its ledger entry was never committed).
+  * per bucket), and a ledger records bucket id, row count and wall time —
+  * the lineage + throughput metrics the north rule asks every stage to
+  * emit. A rerun anti-joins completed buckets away and processes only the
+  * remainder; a bucket that crashed mid-write is rewritten wholesale (its
+  * ledger entry was never committed).
+  *
+  * Cluster-real by construction:
+  *  - all ledger I/O goes through the Hadoop FileSystem API, so `root`
+  *    may live on HDFS/S3/local alike;
+  *  - the ledger is ONE SMALL FILE PER BUCKET (`_ledger/bucket-N.json`),
+  *    each committed with a single atomic create — no whole-file rewrite
+  *    (no O(buckets²) cost, safe on object stores where only single-file
+  *    puts are atomic);
+  *  - per-bucket row counts and wall times come from task-side
+  *    accumulators inside the SAME job as the write — no extra
+  *    persist+count pass over the data.
   *
   * Emulates the Iceberg snapshot/manifest contract with plain partitioned
-  * Parquet + a manifest file (SURVEY.md §7.4) since no Iceberg runtime jar
+  * Parquet + manifest files (SURVEY.md §7.4) since no Iceberg runtime jar
   * ships offline; on a real cluster the same API maps onto an Iceberg
   * table with `overwrite-partitions`.
   */
@@ -41,13 +52,25 @@ object Checkpoint {
       ledger: Seq[BucketEntry]
   )
 
-  private def ledgerPath(root: String, stage: String) = s"$root/$stage/_ledger.jsonl"
+  private def ledgerDir(root: String, stage: String) = s"$root/$stage/_ledger"
   private def dataPath(root: String, stage: String) = s"$root/$stage/data"
 
-  def readLedger(root: String, stage: String): Seq[BucketEntry] = {
-    val p = Paths.get(ledgerPath(root, stage))
-    if (!Files.exists(p)) Seq.empty
-    else Files.readAllLines(p).asScala.toSeq.filter(_.nonEmpty).map(parseEntry)
+  private def fs(spark: SparkSession, path: String): FileSystem =
+    new Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+  def readLedger(spark: SparkSession, root: String, stage: String): Seq[BucketEntry] = {
+    val dir = new Path(ledgerDir(root, stage))
+    val f = fs(spark, root)
+    if (!f.exists(dir)) return Seq.empty
+    f.listStatus(dir).toSeq
+      .filter(s => s.getPath.getName.startsWith("bucket-"))
+      .sortBy(_.getPath.getName)
+      .map { s =>
+        val in = f.open(s.getPath)
+        val line = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+        finally in.close()
+        parseEntry(line.trim)
+      }
   }
 
   // hand-rolled fixed-schema JSON (no external json dep in main)
@@ -65,27 +88,29 @@ object Checkpoint {
       field("wallMs").toLong, field("completedAtMs").toLong)
   }
 
-  /** Atomic append of new entries: write whole file to tmp, then rename. */
-  private def appendLedger(root: String, stage: String, entries: Seq[BucketEntry]): Unit = {
-    val all = readLedger(root, stage) ++ entries
-    val p = Paths.get(ledgerPath(root, stage))
-    Files.createDirectories(p.getParent)
-    val tmp = Paths.get(p.toString + ".tmp")
-    Files.writeString(tmp, all.map(renderEntry).mkString("", "\n", "\n"))
-    Files.move(tmp, p, StandardCopyOption.REPLACE_EXISTING,
-      StandardCopyOption.ATOMIC_MOVE)
+  /** Commit one bucket's ledger entry: a single atomic file create. */
+  private def commitEntry(spark: SparkSession, root: String, stage: String, e: BucketEntry): Unit = {
+    val f = fs(spark, root)
+    val p = new Path(ledgerDir(root, stage), f"bucket-${e.bucket}%05d.json")
+    val out = f.create(p, true)
+    try out.write((renderEntry(e) + "\n").getBytes("UTF-8")) finally out.close()
   }
 
   /** Run one resumable stage.
     *
     * @param stage    stage name (output dir + ledger key)
-    * @param root     checkpoint root directory
+    * @param root     checkpoint root (any Hadoop FS: local, HDFS, S3)
     * @param in       input rows
     * @param keyCol   column whose hash defines the bucket (e.g. "url")
     * @param nBuckets bucket count — the resume granularity; at cluster
     *                 scale set ≈ executors × a small factor
-    * @param f        the stage transform (applied before bucketing; must
-    *                 keep `keyCol` in its output)
+    * @param f        the stage transform. CONTRACT: it must keep `keyCol`
+    *                 in its output and must not rewrite its values — the
+    *                 bucket is recomputed after the transform, and a row
+    *                 whose key migrated to a bucket outside the pending
+    *                 set would otherwise clobber an already-committed
+    *                 bucket. Violations are detected task-side and fail
+    *                 the stage before any ledger commit.
     */
   def runStage(
       spark: SparkSession,
@@ -95,47 +120,101 @@ object Checkpoint {
       keyCol: String,
       nBuckets: Int
   )(f: DataFrame => DataFrame): StageResult = {
-    val done = readLedger(root, stage).map(_.bucket).toSet
+    val done = readLedger(spark, root, stage).map(_.bucket).toSet
     val all = 0 until nBuckets
     val todo = all.filterNot(done)
     val out = dataPath(root, stage)
 
+    var outSchema: org.apache.spark.sql.types.StructType = null
     if (todo.nonEmpty) {
-      val t0 = System.currentTimeMillis()
-      val bucket = pmod(xxhash64(col(keyCol)), lit(nBuckets)).cast("int")
+      val now0 = System.currentTimeMillis()
+      val bucketOf = pmod(xxhash64(col(keyCol)), lit(nBuckets)).cast("int")
       // resume filter FIRST (prune completed buckets before any work),
       // then the stage transform, then per-bucket dynamic overwrite
-      val pending = in.withColumn("p_bucket", bucket)
+      val pending = in.withColumn("p_bucket", bucketOf)
         .filter(col("p_bucket").isin(todo: _*))
       // cluster rows by bucket before the partitioned write: otherwise
       // every task opens a parquet writer per bucket it sees (tasks x
       // buckets writer inits — the classic dynamic-partitioning write
-      // explosion); clustered, each bucket is written by one task
+      // explosion); clustered, each bucket is written by few tasks
       val transformed = f(pending)
-        .withColumn("p_bucket",
-          pmod(xxhash64(col(keyCol)), lit(nBuckets)).cast("int"))
+        .withColumn("p_bucket", bucketOf)
         .repartition(nBuckets, col("p_bucket"))
-      val counts = transformed.persist()
-        .groupBy(col("p_bucket")).count().collect()
-        .map(r => r.getInt(0) -> r.getLong(1)).toMap
-      transformed.write
+      outSchema = transformed.schema
+
+      // per-bucket stats from inside the write job: rows per bucket and
+      // task wall attributed to each bucket proportionally by row count
+      val statsAcc = spark.sparkContext
+        .collectionAccumulator[(Int, Long, Long)](s"graft.ledger.$stage")
+      val migratedAcc = spark.sparkContext.longAccumulator(s"graft.migrated.$stage")
+      val todoSet = todo.toSet
+      val bIdx = transformed.schema.fieldIndex("p_bucket")
+      val enc = Encoders.row(transformed.schema)
+      val tracked = transformed.mapPartitions { it =>
+        val t0 = System.currentTimeMillis()
+        val counts = scala.collection.mutable.HashMap.empty[Int, Long]
+        Option(TaskContext.get()).foreach(_.addTaskCompletionListener[Unit] { _ =>
+          val wall = System.currentTimeMillis() - t0
+          val total = counts.values.sum.max(1L)
+          counts.foreach { case (b, n) =>
+            statsAcc.add((b, n, math.max(1L, wall * n / total)))
+          }
+        })
+        it.map { r =>
+          val b = r.getInt(bIdx)
+          if (todoSet.contains(b)) counts(b) = counts.getOrElse(b, 0L) + 1L
+          else migratedAcc.add(1L)
+          r
+        }
+      }(enc)
+
+      tracked.write
         .mode(SaveMode.Overwrite)
         .option("partitionOverwriteMode", "dynamic")
         .partitionBy("p_bucket")
         .parquet(out)
-      transformed.unpersist()
-      val wall = System.currentTimeMillis() - t0
+
+      // key-stability contract check BEFORE any ledger commit: migrated
+      // rows mean f rewrote keyCol; their buckets were (wrongly) rewritten
+      require(migratedAcc.value == 0L,
+        s"stage '$stage': ${migratedAcc.value} rows migrated outside the " +
+          s"pending bucket set — the transform rewrote '$keyCol' values")
+
+      val stats = new scala.collection.mutable.HashMap[Int, (Long, Long)]()
+      statsAcc.value.forEach { case (b, n, w) =>
+        val (pn, pw) = stats.getOrElse(b, (0L, 0L))
+        stats(b) = (pn + n, pw + w)
+      }
       val now = System.currentTimeMillis()
       // ledger commit AFTER the data commit: a crash between the two
       // re-processes those buckets (overwrite makes that idempotent)
-      appendLedger(root, stage, todo.map(b =>
-        BucketEntry(stage, b, counts.getOrElse(b, 0L), wall / math.max(1, todo.size), now)))
+      todo.foreach { b =>
+        val (rows, wall) = stats.getOrElse(b, (0L, now - now0))
+        commitEntry(spark, root, stage, BucketEntry(stage, b, rows, wall, now))
+      }
     }
 
+    // read back with a guard for the all-buckets-empty case, where the
+    // partitioned write leaves no parquet data files to infer from
+    val output =
+      if (fs(spark, root).exists(new Path(out))) {
+        try spark.read.parquet(out)
+        catch {
+          case e: org.apache.spark.sql.AnalysisException
+              if outSchema != null && e.getMessage.contains("infer") =>
+            spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], outSchema)
+        }
+      } else if (outSchema != null) {
+        spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], outSchema)
+      } else {
+        throw new IllegalStateException(
+          s"stage '$stage': no data and no ledger — nothing was ever written")
+      }
+
     StageResult(
-      spark.read.parquet(out),
+      output,
       todo,
       all.filter(done).toSeq,
-      readLedger(root, stage))
+      readLedger(spark, root, stage))
   }
 }

@@ -1,9 +1,9 @@
 package graft.sources
 
 import graft.core.PageRow
-import org.apache.spark.sql.{DataFrame, Dataset, SaveMode, SparkSession}
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.{DataFrame, Dataset, Encoders, SaveMode, SparkSession}
 import org.apache.spark.sql.functions._
-import java.nio.file.{Files, Paths}
 
 /** The Pages storage layout — the Iceberg-style table the engine scans at
   * 10^12 rows (BASELINE.json input_hint), emulated with hidden-partition
@@ -32,17 +32,27 @@ object PagesTable {
       .withColumn("p_bucket", pmod(xxhash64(col("url")), lit(buckets)).cast("int"))
 
   def write(pages: Dataset[PageRow], root: String, buckets: Int = defaultBuckets): Unit = {
+    val spark = pages.sparkSession
     val df = withPartitions(pages.toDF(), buckets)
       // cluster by partition tuple: one writer per (day, bucket) instead of
       // tasks x partitions writer inits
       .repartition(col("p_day"), col("p_bucket"))
-    df.write.mode(SaveMode.Overwrite)
+    // manifest row count from the SAME job as the write (accumulator) —
+    // re-reading the table just to count paid a second full scan
+    val rowsAcc = spark.sparkContext.longAccumulator("pagesTableRows")
+    val counted = df.mapPartitions { it =>
+      it.map { r => rowsAcc.add(1L); r }
+    }(Encoders.row(df.schema))
+    counted.write.mode(SaveMode.Overwrite)
       .partitionBy("p_day", "p_bucket")
       .parquet(s"$root/data")
-    val rows = pages.sparkSession.read.parquet(s"$root/data").count()
     val manifest =
-      s"""{"format":"pages-table-v1","buckets":$buckets,"partitioning":["days(warc_ts)","bucket(url,$buckets)"],"rows":$rows}"""
-    Files.writeString(Paths.get(root, "manifest.json"), manifest)
+      s"""{"format":"pages-table-v1","buckets":$buckets,"partitioning":["days(warc_ts)","bucket(url,$buckets)"],"rows":${rowsAcc.value}}"""
+    // manifest via the Hadoop FS API: root may be HDFS/S3, and a single
+    // file create is atomic on object stores
+    val fs = new Path(root).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val out = fs.create(new Path(root, "manifest.json"), true)
+    try out.write(manifest.getBytes("UTF-8")) finally out.close()
   }
 
   /** Scan returning the logical schema; partition columns stay available

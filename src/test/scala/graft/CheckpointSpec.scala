@@ -69,13 +69,12 @@ class CheckpointSpec extends AnyFunSuite {
     val golden = Checkpoint.runStage(spark, "s", root1, input(), "url", 8)(xform)
       .output.select("url", "out").collect().map(_.toString).sorted.toSeq
 
-    // run, then simulate a crash that lost buckets 0-3's commits
+    // run, then simulate a crash that lost buckets 0-3's commits (the
+    // ledger is one atomic file per bucket — delete those files)
     Checkpoint.runStage(spark, "s", root2, input(), "url", 8)(xform)
-    val lp = Paths.get(s"$root2/s/_ledger.jsonl")
-    val kept = Files.readAllLines(lp)
-    val survivors = new java.util.ArrayList[String]()
-    kept.forEach(l => if (!(0 to 3).exists(b => l.contains(s"\"bucket\":$b,"))) survivors.add(l))
-    Files.write(lp, survivors)
+    (0 to 3).foreach { b =>
+      Files.delete(Paths.get(f"$root2/s/_ledger/bucket-$b%05d.json"))
+    }
 
     val resumed = Checkpoint.runStage(spark, "s", root2, input(), "url", 8)(xform)
     assert(resumed.processedBuckets.sorted == (0 to 3))
@@ -86,17 +85,54 @@ class CheckpointSpec extends AnyFunSuite {
     rmTree(Paths.get(root1)); rmTree(Paths.get(root2))
   }
 
-  test("ledger is valid jsonl with lineage + throughput fields") {
+  test("ledger is one atomic json file per bucket with lineage + throughput fields") {
     val root = tmpRoot()
     val res = Checkpoint.runStage(spark, "s", root, input(), "url", 4)(identity)
     res.ledger.foreach { e =>
       assert(e.stage == "s")
       assert(e.bucket >= 0 && e.bucket < 4)
-      assert(e.rows >= 0 && e.wallMs >= 0 && e.completedAtMs > 0)
+      assert(e.rows > 0 && e.wallMs > 0 && e.completedAtMs > 0)
     }
-    val lines = Files.readAllLines(Paths.get(s"$root/s/_ledger.jsonl"))
-    assert(lines.size == 4)
-    lines.forEach(l => assert(l.startsWith("{") && l.endsWith("}")))
+    // per-bucket rows are REAL counts (sum to input size), not an even split
+    assert(res.ledger.map(_.rows).sum == 200L)
+    assert(res.ledger.map(_.rows).distinct.size > 1,
+      "per-bucket rows look fabricated (all equal)")
+    val files = Files.list(Paths.get(s"$root/s/_ledger")).toArray.map(_.toString)
+      .filter(f => f.split("/").last.startsWith("bucket-")).sorted // skip .crc sidecars
+    assert(files.length == 4)
+    files.foreach { f =>
+      val line = Files.readString(Paths.get(f)).trim
+      assert(line.startsWith("{") && line.endsWith("}"))
+    }
+    rmTree(Paths.get(root))
+  }
+
+  test("resume with a key-rewriting transform fails loudly before any ledger commit") {
+    // key rewrites only become dangerous on RESUME: migrated rows would
+    // silently clobber already-committed buckets (the ADVICE.md finding).
+    // On a first full run every bucket is pending, so nothing can migrate.
+    val root = tmpRoot()
+    Checkpoint.runStage(spark, "bad", root, input(), "url", 8)(identity)
+    (0 to 1).foreach { b =>
+      Files.delete(Paths.get(f"$root/bad/_ledger/bucket-$b%05d.json"))
+    }
+    val e = intercept[Exception] {
+      Checkpoint.runStage(spark, "bad", root, input(), "url", 8)(
+        df => df.withColumn("url", concat(col("url"), lit("-rewritten"))))
+    }
+    assert(e.getMessage.contains("migrated"), e.getMessage)
+    // the lost buckets were NOT ledger-committed by the failed resume
+    assert(Checkpoint.readLedger(spark, root, "bad").size == 6)
+    rmTree(Paths.get(root))
+  }
+
+  test("stage whose pending buckets produce zero rows still reads back") {
+    val root = tmpRoot()
+    import spark.implicits._
+    val empty = input().filter(col("v") < -1)
+    val res = Checkpoint.runStage(spark, "s", root, empty, "url", 4)(identity)
+    assert(res.output.count() == 0L)
+    assert(res.ledger.size == 4 && res.ledger.forall(_.rows == 0L))
     rmTree(Paths.get(root))
   }
 }

@@ -48,9 +48,9 @@ class CheckpointedPipelineSpec extends AnyFunSuite {
     // earlier stages were not redone: their ledgers still carry exactly one
     // entry per bucket (a rerun would have appended nothing new anyway —
     // assert the ledger is still the 4 original entries)
-    assert(Checkpoint.readLedger(root, "segment").size == 4)
-    assert(Checkpoint.readLedger(root, "align").size == 4)
-    assert(Checkpoint.readLedger(root, "correct").size == 4)
+    assert(Checkpoint.readLedger(spark, root, "segment").size == 4)
+    assert(Checkpoint.readLedger(spark, root, "align").size == 4)
+    assert(Checkpoint.readLedger(spark, root, "correct").size == 4)
     rmTree(Paths.get(root))
   }
 }

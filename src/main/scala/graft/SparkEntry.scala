@@ -628,6 +628,22 @@ object SparkEntry {
         .orderBy(col("url"))
     }),
 
+    // clip: overlapping-span arbitration (clip.py:44-267 re-bound to byte
+    // spans): a sloppy segmenter extends every block 5 bytes into its
+    // neighbours; SpanClaims.clip resolves the contested regions by
+    // majority claim back to disjoint spans
+    "p03_clip_spans" -> ((s, _) => {
+      import s.implicits._
+      Pipeline.generate(s, 100)
+        .flatMap { p =>
+          val sloppy = Pipeline.sloppySegmentPage(p)
+          SpanClaims.clip(sloppy.blocks).map(b =>
+            (p.url, b.id, b.span.start, b.span.stop))
+        }
+        .toDF("url", "block_id", "span_start", "span_stop")
+        .orderBy(col("url"), col("block_id"))
+    }),
+
     "p04_align_variants" -> ((s, _) => {
       import s.implicits._
       Pipeline.align(Pipeline.segment(Pipeline.generate(s, 100)))
@@ -1009,6 +1025,10 @@ object SparkEntry {
       """SELECT url, extracted_text
         |FROM read_parquet('/tmp/graft_expected/extracted.parquet/*.parquet')
         |ORDER BY url""".stripMargin,
+    "p03_clip_spans" ->
+      """SELECT url, block_id, span_start, span_stop
+        |FROM read_parquet('/tmp/graft_expected/clipped.parquet/*.parquet')
+        |ORDER BY url, block_id""".stripMargin,
     "p04_align_variants" ->
       """SELECT url, line_id, variant_index, text, conf, source
         |FROM read_parquet('/tmp/graft_expected/variants.parquet/*.parquet')

@@ -107,6 +107,40 @@ object Expected {
     out.toSeq
   }
 
+  /** Expected clip arbitration (p03): extend each expected block span by
+    * the sloppy margin, then resolve contested regions with an interval
+    * sweep — boundary placement follows the majority-claim rule (the
+    * contested region goes to the block for which it is the larger share
+    * of itself; the loser is clipped to the boundary).
+    */
+  def clippedBlocksOf(i: Long, margin: Long = 5): Seq[(String, String, Long, Long)] = {
+    val htmlLen = PagesGen.page(i).row.html.length.toLong
+    var cur = blocksOf(i).map { b =>
+      (b.block_id, math.max(0L, b.span_start - margin), math.min(htmlLen, b.span_stop + margin), b.url)
+    }.filter(t => t._3 > t._2)
+    var changed = true
+    while (changed) {
+      changed = false
+      val arr = cur.sortBy(t => (t._2, t._3, t._1)).toArray
+      var k = 0
+      while (k < arr.length - 1) {
+        val (ida, sa, ea, u) = arr(k)
+        val (idb, sb, eb, _) = arr(k + 1)
+        val inter = math.min(ea, eb) - math.max(sa, sb)
+        if (inter > 0) {
+          changed = true
+          val fracA = inter.toDouble / math.max(1L, ea - sa)
+          val fracB = inter.toDouble / math.max(1L, eb - sb)
+          if (fracA >= fracB) arr(k + 1) = (idb, math.min(ea, eb), eb, u)
+          else arr(k) = (ida, sa, math.max(sb, sa), u)
+        }
+        k += 1
+      }
+      cur = arr.toSeq.filter(t => t._3 > t._2)
+    }
+    cur.map(t => (t._4, t._1, t._2, t._3)).sortBy(t => (t._1, t._2))
+  }
+
   /** Expected extracted main text: text blocks in document order. */
   def extractedTextOf(i: Long): String = {
     val tp = PagesGen.page(i)
@@ -127,6 +161,10 @@ object Expected {
 
     val blocks = ids.flatMap(blocksOf)
     blocks.toDF().coalesce(1).write.mode("overwrite").parquet(s"$dir/blocks.parquet")
+
+    ids.flatMap(i => clippedBlocksOf(i))
+      .toDF("url", "block_id", "span_start", "span_stop")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/clipped.parquet")
 
     ids.map(i => (PagesGen.page(i).row.url, extractedTextOf(i)))
       .toDF("url", "extracted_text")

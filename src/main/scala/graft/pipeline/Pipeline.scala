@@ -47,6 +47,22 @@ object Pipeline {
     pages.map(segmentPage)
   }
 
+  /** A deliberately-overlapping segmenter variant: every block span is
+    * extended by `margin` bytes into its neighbours — the overlapping
+    * layouts (Tesseract / GT polygons) the reference's clip processor
+    * exists to arbitrate (clip.py:69-71 "best sense for overlapping
+    * segmentation"). `SpanClaims.clip` resolves the claims back to
+    * disjoint spans.
+    */
+  def sloppySegmentPage(p: PageRow, margin: Long = 5): SegmentedPage = {
+    val n = p.html.length.toLong
+    val blocks = HtmlBlocks.segment(p.html).map { b =>
+      b.copy(span = Span(math.max(0L, b.span.start - margin),
+        math.min(n, b.span.stop + margin)))
+    }
+    SegmentedPage(p.url, p.lang, blocks)
+  }
+
   // ---- Stage B+C: variants + alignment (row-local) ----
 
   def alignPage(sp: SegmentedPage): AlignedPage = {

@@ -362,6 +362,36 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    // SimHash PAIRING stage: band the 32-bit signatures into 4 bytes,
+    // equi-join on any equal band (Hamming-ball candidates: distance <= 3
+    // implies at least one of 4 bands is untouched; tau=2 here), then verify true
+    // Hamming distance via bit_count(xor). Same banded-join scale shape
+    // as q18 — no all-pairs comparison ever materializes.
+    "q44_simhash_pairs" -> ((s, dir) => {
+      def md5s(c: Column): Column = md5(to_binary(c, lit("utf-8")))
+      val hashed = t(s, dir, "documents")
+        .select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
+        .filter(length(col("tok")) > 0)
+        .select(col("doc_id"), md5s(col("tok")).as("h"))
+      def bit(k: Int): Column =
+        when(sum(when(substring(col("h"), k, 1) >= "8", 1).otherwise(-1)) >= 0,
+          "1").otherwise("0")
+      val sig = hashed.groupBy(col("doc_id"))
+        .agg(concat((1 to 32).map(bit): _*).as("sh"))
+      val banded = sig.select(col("doc_id"), col("sh"),
+        posexplode(array((0 to 3).map(j => substring(col("sh"), 8 * j + 1, 8)): _*)))
+        .toDF("doc_id", "sh", "band", "key")
+      val a = banded.select(col("band"), col("key"), col("doc_id").as("id1"), col("sh").as("sh1"))
+      val b = banded.select(col("band"), col("key"), col("doc_id").as("id2"), col("sh").as("sh2"))
+      val ham = bit_count(conv(col("sh1"), 2, 10).cast("long")
+        .bitwiseXOR(conv(col("sh2"), 2, 10).cast("long")))
+      a.join(b, Seq("band", "key")).filter(col("id1") < col("id2"))
+        .withColumn("hamming", ham)
+        .filter(col("hamming") <= 2)
+        .select(col("id1"), col("id2"), col("hamming")).distinct()
+        .orderBy(col("id1"), col("id2"))
+    }),
+
     // brute-force cosine top-k ANN over the embeddings table: the exact
     // baseline. Query side (vec_id < 5) is broadcast; similarity in double
     // precision via zip_with + aggregate fold; output ranks only (floats
@@ -653,6 +683,18 @@ object SparkEntry {
         .orderBy(col("url"), col("line_id"), col("variant_index"))
     }),
 
+    // the union+groupBy(url) alignment path (SURVEY §4.3(a)): k separate
+    // extractor passes shuffled back together — must produce the exact
+    // same variants as the fused row-local path (same oracle as p04)
+    "p13_align_shuffled" -> ((s, _) => {
+      import s.implicits._
+      Pipeline.alignShuffled(Pipeline.generate(s, 100))
+        .flatMap(p => p.lines.flatMap(l => l.variants.map(v =>
+          (p.url, l.lineId, v.index, v.text, v.conf, v.source))))
+        .toDF("url", "line_id", "variant_index", "text", "conf", "source")
+        .orderBy(col("url"), col("line_id"), col("variant_index"))
+    }),
+
     "p05_correct" -> ((s, _) => {
       import s.implicits._
       Pipeline.run(Pipeline.generate(s, 100))
@@ -889,6 +931,24 @@ object SparkEntry {
          |hashed AS (SELECT doc_id, md5(tok) AS h FROM toks WHERE length(tok) > 0)
          |SELECT doc_id, $bits AS simhash FROM hashed GROUP BY doc_id ORDER BY doc_id""".stripMargin
     },
+    "q44_simhash_pairs" -> {
+      val bits = (1 to 32).map(k =>
+        s"CASE WHEN sum(CASE WHEN substr(h,$k,1) >= '8' THEN 1 ELSE -1 END) >= 0 THEN '1' ELSE '0' END"
+      ).mkString(" || ")
+      val bands = (0 to 3).map(j =>
+        s"SELECT doc_id, sh, $j AS band, substring(sh, ${8 * j + 1}, 8) AS key FROM sig")
+        .mkString("\nUNION ALL ")
+      s"""WITH toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents),
+         |hashed AS (SELECT doc_id, md5(tok) AS h FROM toks WHERE length(tok) > 0),
+         |sig AS (SELECT doc_id, $bits AS sh FROM hashed GROUP BY doc_id),
+         |banded AS (
+         |$bands)
+         |SELECT DISTINCT a.doc_id AS id1, c.doc_id AS id2,
+         |  CAST(bit_count(xor(a.sh::BIT, c.sh::BIT)) AS INT) AS hamming
+         |FROM banded a JOIN banded c ON a.band = c.band AND a.key = c.key AND a.doc_id < c.doc_id
+         |WHERE bit_count(xor(a.sh::BIT, c.sh::BIT)) <= 2
+         |ORDER BY id1, id2""".stripMargin
+    },
     "q20_ann_topk" ->
       """WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
         |q AS (SELECT vec_id AS qid, v AS qv FROM e WHERE vec_id < 5),
@@ -1030,6 +1090,10 @@ object SparkEntry {
         |FROM read_parquet('/tmp/graft_expected/clipped.parquet/*.parquet')
         |ORDER BY url, block_id""".stripMargin,
     "p04_align_variants" ->
+      """SELECT url, line_id, variant_index, text, conf, source
+        |FROM read_parquet('/tmp/graft_expected/variants.parquet/*.parquet')
+        |ORDER BY url, line_id, variant_index""".stripMargin,
+    "p13_align_shuffled" ->
       """SELECT url, line_id, variant_index, text, conf, source
         |FROM read_parquet('/tmp/graft_expected/variants.parquet/*.parquet')
         |ORDER BY url, line_id, variant_index""".stripMargin,

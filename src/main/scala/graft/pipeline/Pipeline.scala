@@ -84,6 +84,53 @@ object Pipeline {
     seg.map(alignPage)
   }
 
+  /** One extractor's reading of one line — the row shape of the SHUFFLE
+    * alignment path below.
+    */
+  final case class LineReading(
+      url: String, lang: String, lineId: String,
+      spanStart: Long, spanStop: Long, exIdx: Int, text: String,
+      lineConf: Double, wordConfs: Seq[Double], wordCharConfs: Seq[Seq[Double]])
+
+  /** The union+groupBy alignment path (SURVEY §4.3(a)): each extractor is
+    * a SEPARATE pass over the pages — the reference's reality, where k OCR
+    * engines are k processes writing k file groups that the aligner joins
+    * back per line (aio/aio.py:477-499 runs them sequentially;
+    * align/cli.py:258-271 zips their outputs). Line readings are tagged,
+    * union'ed, and grouped back into per-page version tuples on url — ONE
+    * hash shuffle keyed on url, partitionable across the cluster. Use this
+    * when extractors really are separate jobs; the fused [[align]] is the
+    * zero-shuffle path when all k variants derive from the same row.
+    */
+  def alignShuffled(pages: Dataset[PageRow]): Dataset[AlignedPage] = {
+    val spark = pages.sparkSession
+    import spark.implicits._
+    val readings = extractors.zipWithIndex.map { case (ex, i) =>
+      segment(pages).flatMap { sp =>
+        sp.blocks.filter(_.kind == "text").map { b =>
+          val txt = TextNorm.normalize(ex.transform(b.text))
+          val wcc = ConfSurrogate.wordCharConfs(ex.name, sp.url, b.id, txt, ex.base)
+          val wc = wcc.map(MultiAlign.confFold)
+          LineReading(sp.url, sp.lang, b.id, b.span.start, b.span.stop, i,
+            txt, MultiAlign.confFold(wc), wc, wcc.map(_.toSeq))
+        }
+      }
+    }.reduce(_ union _)
+    readings.groupByKey(_.url).mapGroups { (url, it) =>
+      val rows = it.toSeq
+      val lang = rows.head.lang
+      val lines = rows.groupBy(_.lineId).toSeq.sortBy(_._1).map { case (_, rs) =>
+        val sorted = rs.sortBy(_.exIdx)
+        val versions = sorted.map { r =>
+          MultiAlign.LineVersion(extractors(r.exIdx).name, r.lineId, r.text,
+            r.lineConf, r.wordConfs.toIndexedSeq, r.wordCharConfs.toIndexedSeq)
+        }
+        MultiAlign.alignLine(versions, Span(sorted.head.spanStart, sorted.head.spanStop))
+      }
+      AlignedPage(url, lang, lines)
+    }
+  }
+
   // ---- profile learning (train path) ----
 
   /** (masterLine, goldenLine) training pairs through the ENGINE's extract

@@ -40,7 +40,10 @@ object Pipeline {
   // ---- Stage A: segmentation ----
 
   def segmentPage(p: PageRow): SegmentedPage =
-    SegmentedPage(p.url, p.lang, HtmlBlocks.segment(p.html))
+    // geometric reading order (psegutils.py:114-170 port) — the identity
+    // permutation for the single-column DOM layout, the real ordering
+    // path for 2-D layouts
+    SegmentedPage(p.url, p.lang, ReadingOrder.sort(HtmlBlocks.segment(p.html)))
 
   def segment(pages: Dataset[PageRow]): Dataset[SegmentedPage] = {
     import pages.sparkSession.implicits._

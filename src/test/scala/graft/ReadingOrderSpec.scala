@@ -1,0 +1,70 @@
+package graft
+
+import graft.core._
+import graft.core.ReadingOrder.Box
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Reading-order partial order + topsort (psegutils.py:114-170 port) and
+  * the predominant-language fallback chain (div/lang.py:24-88 port).
+  */
+class ReadingOrderSpec extends AnyFunSuite {
+
+  test("two-column layout orders column-wise (left column first)") {
+    // col A: x 0-40, three lines; col B: x 60-100, three lines
+    val boxes = IndexedSeq(
+      Box(0, 1, 60, 100), Box(1, 2, 60, 100), Box(2, 3, 60, 100), // B0 B1 B2
+      Box(0, 1, 0, 40), Box(1, 2, 0, 40), Box(2, 3, 0, 40)) // A0 A1 A2
+    val sorted = ReadingOrder.topsort(ReadingOrder.order(boxes))
+    assert(sorted == Seq(3, 4, 5, 0, 1, 2), s"got $sorted")
+  }
+
+  test("a vertical separator suppresses the cross-column edge") {
+    val boxes = IndexedSeq(
+      Box(0, 1, 60, 100), // B0
+      Box(0, 1, 0, 40), // A0
+      Box(0, 1, 35, 65)) // separator reaching into both (psegutils.py:128-130:
+    // it must start before u's stop and stop after v's start to count)
+    val o = ReadingOrder.order(boxes)
+    // without the separator A0 would precede B0 via left_of; with it the
+    // pair stays unordered
+    assert(!o(1)(0))
+    // a strictly-between gap box does NOT separate (reference quirk)
+    val gap = IndexedSeq(Box(0, 1, 60, 100), Box(0, 1, 0, 40), Box(0, 1, 45, 55))
+    assert(ReadingOrder.order(gap)(1)(0))
+  }
+
+  test("single-column stacked lines sort top-down") {
+    val boxes = IndexedSeq(Box(2, 3, 0, 100), Box(0, 1, 0, 100), Box(1, 2, 0, 100))
+    assert(ReadingOrder.topsort(ReadingOrder.order(boxes)) == Seq(1, 2, 0))
+  }
+
+  test("DOM blocks are the single-column degenerate case: identity order") {
+    val blocks = HtmlBlocks.segment(graft.fixtures.PagesGen.page(2L).row.html)
+    assert(ReadingOrder.sort(blocks) == blocks)
+  }
+}
+
+class LangStatsSpec extends AnyFunSuite {
+
+  test("line-level argmax wins when every line is annotated") {
+    assert(LangStats.predominantLanguage(
+      Seq(Some("de"), Some("en"), Some("de")), Seq(Some("en"))) == "de")
+  }
+
+  test("first-seen max wins ties (Python dict insertion order)") {
+    assert(LangStats.predominantLanguage(
+      Seq(Some("en"), Some("de"), Some("de"), Some("en")), Nil) == "en")
+  }
+
+  test("one un-annotated line poisons the level -> word fallback") {
+    // lang.py's max over a dict with a None key raises TypeError, which
+    // triggers the word-level fallback
+    assert(LangStats.predominantLanguage(
+      Seq(Some("de"), None, Some("de")), Seq(Some("en"), Some("en"))) == "en")
+  }
+
+  test("both levels unusable -> fixed defaults") {
+    assert(LangStats.predominantLanguage(Seq(None), Seq.empty) == "German")
+    assert(LangStats.predominantFont(Seq.empty, Seq(None)) == "Antiqua")
+  }
+}

@@ -277,11 +277,18 @@ object SparkEntry {
 
     // ---- training-data ops: deduplication ----
 
-    // exact dedup on word-multiset-normalized text (hash-groupBy)
+    // exact dedup on the word MULTISET (hash-groupBy). Fingerprint is a
+    // commutative multiset hash — sum over tokens of (md5-prefix mod p) —
+    // order-independent and O(n) row-local, replacing the per-doc
+    // array_sort of the full text (the round-1 hot spot). At petabyte
+    // scale swap in a 128-bit multiset hash to make collisions negligible.
     "q15_dedup_exact" -> ((s, dir) => {
       t(s, dir, "documents")
-        .withColumn("fp", md5(to_binary(
-          array_join(array_sort(split(col("text"), " ")), " "), lit("utf-8"))))
+        .withColumn("fp", expr(
+          """aggregate(
+            |  transform(split(text, ' '),
+            |    t -> pmod(cast(conv(substring(md5(to_binary(t, 'utf-8')), 1, 12), 16, 10) as bigint), 1000000007)),
+            |  cast(0 as bigint), (a, x) -> a + x)""".stripMargin))
         .groupBy(col("fp"))
         .agg(min(col("doc_id")).as("keeper"), count(lit(1)).as("n_dups"))
         .filter(col("n_dups") >= 1)
@@ -695,6 +702,20 @@ object SparkEntry {
         .orderBy(col("url"), col("line_id"), col("variant_index"))
     }),
 
+    // lines2regions (common.py:1172-1810 role): text blocks grouped into
+    // region units split at structural boundaries (sep/img/boilerplate)
+    "p15_regions" -> ((s, _) => {
+      import s.implicits._
+      Pipeline.generate(s, 100)
+        .flatMap { p =>
+          HtmlBlocks.groupRegions(HtmlBlocks.segment(p.html)).map {
+            case (rid, b) => (p.url, b.id, rid)
+          }
+        }
+        .toDF("url", "block_id", "region_id")
+        .orderBy(col("url"), col("block_id"))
+    }),
+
     "p05_correct" -> ((s, _) => {
       import s.implicits._
       Pipeline.run(Pipeline.generate(s, 100))
@@ -897,7 +918,8 @@ object SparkEntry {
         |FROM documents ORDER BY doc_id""".stripMargin,
     "q15_dedup_exact" ->
       """WITH fps AS (
-        |  SELECT md5(array_to_string(list_sort(string_split(text, ' ')), ' ')) AS fp,
+        |  SELECT list_sum(list_transform(string_split(text, ' '),
+        |      t -> ('0x' || substring(md5(t), 1, 12))::BIGINT % 1000000007)) AS fp,
         |    min(doc_id) AS keeper, count(*) AS n_dups
         |  FROM documents GROUP BY fp)
         |SELECT n_dups, count(*) AS n_groups FROM fps GROUP BY n_dups ORDER BY n_dups""".stripMargin,
@@ -1093,6 +1115,10 @@ object SparkEntry {
       """SELECT url, line_id, variant_index, text, conf, source
         |FROM read_parquet('/tmp/graft_expected/variants.parquet/*.parquet')
         |ORDER BY url, line_id, variant_index""".stripMargin,
+    "p15_regions" ->
+      """SELECT url, block_id, region_id
+        |FROM read_parquet('/tmp/graft_expected/regions.parquet/*.parquet')
+        |ORDER BY url, block_id""".stripMargin,
     "p13_align_shuffled" ->
       """SELECT url, line_id, variant_index, text, conf, source
         |FROM read_parquet('/tmp/graft_expected/variants.parquet/*.parquet')

@@ -219,4 +219,28 @@ object HtmlBlocks {
     */
   def extractText(blocks: Seq[Block]): String =
     blocks.filter(_.kind == "text").map(_.text).mkString("\n")
+
+  /** lines → regions (ocropy/common.py:1172-1810 `lines2regions` role):
+    * group text lines into region-level units. The web re-binding splits
+    * the text-block stream at structural boundaries — separators, images
+    * and boilerplate runs — the same role column separators and vertical
+    * whitespace play in the pixel pipeline. Returns (regionId, block)
+    * pairs for the text blocks, region ids dense in reading order.
+    */
+  def groupRegions(blocks: Seq[Block]): Seq[(Int, Block)] = {
+    val out = scala.collection.mutable.ArrayBuffer[(Int, Block)]()
+    var region = 0
+    var regionOpen = false
+    blocks.foreach { b =>
+      if (b.kind == "text") {
+        if (!regionOpen) { regionOpen = true }
+        out += ((region, b))
+      } else if (regionOpen) {
+        // a sep/img/boilerplate boundary closes the open region
+        region += 1
+        regionOpen = false
+      }
+    }
+    out.toSeq
+  }
 }

@@ -110,4 +110,45 @@ object SpanClaims {
     }
     hulls.toSeq
   }
+
+  /** morph.propagate_labels_majority (ocropy/morph.py role, consumed by
+    * resegment.py:418-423): give each unlabeled component the label that
+    * claims the majority of its extent; components no label touches stay
+    * 0. Ties resolve to the lower label (the reference's argmax over
+    * label bincounts picks the first maximum).
+    */
+  def propagateLabelsMajority(components: Seq[Span], labels: Seq[(Span, Int)]): Seq[Int] =
+    components.map { c =>
+      var best = 0; var bestLen = 0L
+      labels.foreach { case (s, l) =>
+        val il = interLen(c, s)
+        if (il > bestLen || (il == bestLen && il > 0 && l < best)) {
+          bestLen = il; best = l
+        }
+      }
+      best
+    }
+
+  /** morph.spread_labels (resegment.py:424-425 role): extend labeled
+    * spans into unlabeled space, each position going to the NEAREST
+    * labeled span within `maxdist` (ties to the earlier span). Returns
+    * the grown span per label, index-aligned with `labels`.
+    */
+  def spreadLabels(labels: Seq[Span], maxdist: Long): Seq[Span] = {
+    val sortedIdx = labels.zipWithIndex.sortBy(_._1.start)
+    val grown = labels.toArray
+    sortedIdx.sliding(2).foreach {
+      case Seq((a, ia), (b, ib)) =>
+        val gap = b.start - a.stop
+        if (gap > 0) {
+          // midpoint split, each side capped at maxdist
+          val aGrow = math.min(maxdist, (gap + 1) / 2)
+          val bGrow = math.min(maxdist, gap / 2)
+          grown(ia) = Span(grown(ia).start, math.min(a.stop + aGrow, b.start))
+          grown(ib) = Span(math.max(b.start - bGrow, a.stop + aGrow), grown(ib).stop)
+        }
+      case _ =>
+    }
+    grown.toSeq
+  }
 }

@@ -166,6 +166,19 @@ object Expected {
       .toDF("url", "block_id", "span_start", "span_stop")
       .coalesce(1).write.mode("overwrite").parquet(s"$dir/clipped.parquet")
 
+    // expected regions: construction knowledge — region 0 is the h1 plus
+    // the paragraphs before the <hr/> (which sits before paragraph
+    // nLines/2), region 1 the paragraphs after it
+    ids.flatMap { i =>
+      val tp = PagesGen.page(i)
+      val textIds = blocksOf(i).filter(_.kind == "text").map(_.block_id)
+      val firstRegion = 1 + tp.linePairs.length / 2 // h1 + paras before hr
+      textIds.zipWithIndex.map { case (id, k) =>
+        (tp.row.url, id, if (k < firstRegion) 0 else 1)
+      }
+    }.toDF("url", "block_id", "region_id")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/regions.parquet")
+
     ids.map(i => (PagesGen.page(i).row.url, extractedTextOf(i)))
       .toDF("url", "extracted_text")
       .coalesce(1).write.mode("overwrite").parquet(s"$dir/extracted.parquet")

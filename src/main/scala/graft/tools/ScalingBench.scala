@@ -22,6 +22,12 @@ import org.apache.spark.sql.SparkSession
   * efficiency (docs/s@4N / docs/s@N) / 4.
   */
 object ScalingBench {
+  // CAVEAT (kept honest in the JSON output): `taskset -p` on a running
+  // JVM re-pins existing threads, but GC/JIT service threads created at
+  // startup may retain wider affinity on some kernels — the low-N phase
+  // can be slightly flattered. The executor-faithful headline numbers
+  // come from tools/bench_executors.sh (one JVM per "executor", pinned
+  // at LAUNCH to disjoint cores); prefer those for BASELINE.md.
   private def pinTo(cores: Int): Unit = {
     val pid = ProcessHandle.current().pid()
     new ProcessBuilder("taskset", "-pc", s"0-${cores - 1}", pid.toString)
@@ -86,6 +92,6 @@ object ScalingBench {
     val pairsStr = results.map(r => f"[${r._1}%.0f,${r._2}%.0f,${r._3}%.3f]")
       .mkString("[", ",", "]")
     println(
-      f"""{"metric":"scaling_efficiency","value":$eff%.3f,"unit":"ratio","docs_per_sec_local$lo":$dLo%.1f,"docs_per_sec_local$hi":$dHi%.1f,"pairs":$pairsStr,"n_docs":$nDocs,"target":0.8,"pass":${eff >= 0.8}}""")
+      f"""{"metric":"scaling_efficiency","value":$eff%.3f,"unit":"ratio","docs_per_sec_local$lo":$dLo%.1f,"docs_per_sec_local$hi":$dHi%.1f,"pairs":$pairsStr,"n_docs":$nDocs,"target":0.8,"pass":${eff >= 0.8},"note":"self-pinning leaves JVM service threads unpinned; prefer bench_executors.sh (launch-time taskset) as headline"}""")
   }
 }

@@ -91,3 +91,40 @@ class SpanClaimsSpec extends AnyFunSuite {
     }
   }
 }
+
+class MorphLabelSpec extends AnyFunSuite {
+  test("propagate_labels_majority: component takes the majority claimant's label") {
+    val comps = Seq(Span(0, 10), Span(12, 20), Span(30, 40))
+    val labels = Seq((Span(0, 6), 1), (Span(5, 19), 2))
+    // comp0: label1 covers 6, label2 covers 5 -> 1; comp1: only label2;
+    // comp2: untouched -> 0
+    assert(SpanClaims.propagateLabelsMajority(comps, labels) == Seq(1, 2, 0))
+  }
+
+  test("propagate ties resolve to the lower label") {
+    val out = SpanClaims.propagateLabelsMajority(
+      Seq(Span(0, 10)), Seq((Span(0, 5), 7), (Span(5, 10), 3)))
+    assert(out == Seq(3))
+  }
+
+  test("spread_labels grows spans toward the midpoint, capped at maxdist") {
+    val out = SpanClaims.spreadLabels(Seq(Span(0, 10), Span(30, 40)), maxdist = 4)
+    assert(out == Seq(Span(0, 14), Span(26, 40)))
+    val close = SpanClaims.spreadLabels(Seq(Span(0, 10), Span(14, 20)), maxdist = 50)
+    assert(close == Seq(Span(0, 12), Span(12, 20)))
+  }
+}
+
+class RegionGroupSpec extends AnyFunSuite {
+  test("groupRegions splits text runs at sep/img/boilerplate boundaries") {
+    val blocks = HtmlBlocks.segment(graft.fixtures.PagesGen.page(4L).row.html)
+    val regions = HtmlBlocks.groupRegions(blocks)
+    // the synthetic page has exactly one <hr/> separator inside the text
+    // run: h1 + leading paragraphs are region 0, trailing paragraphs 1
+    assert(regions.map(_._1).distinct == Seq(0, 1))
+    val r0 = regions.filter(_._1 == 0).map(_._2)
+    assert(r0.head.text.head.isUpper) // starts at the h1 line
+    // regions partition the text blocks in order
+    assert(regions.map(_._2) == blocks.filter(_.kind == "text"))
+  }
+}

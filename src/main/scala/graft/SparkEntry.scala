@@ -385,9 +385,17 @@ object SparkEntry {
           "1").otherwise("0")
       val sig = hashed.groupBy(col("doc_id"))
         .agg(concat((1 to 32).map(bit): _*).as("sh"))
-      val banded = sig.select(col("doc_id"), col("sh"),
+      val banded0 = sig.select(col("doc_id"), col("sh"),
         posexplode(array((0 to 3).map(j => substring(col("sh"), 8 * j + 1, 8)): _*)))
         .toDF("doc_id", "sh", "band", "key")
+      // hot-band guard (mirrored in the oracle): a band key shared by most
+      // of the corpus is uninformative and would emit O(df^2) join rows —
+      // the same skew guard as q16's hot shingles. Pairs it drops can
+      // still collide in a rarer band.
+      val banded = banded0.join(
+        banded0.groupBy(col("band"), col("key")).agg(count(lit(1)).as("df"))
+          .filter(col("df") <= 128).select(col("band"), col("key")),
+        Seq("band", "key"))
       val a = banded.select(col("band"), col("key"), col("doc_id").as("id1"), col("sh").as("sh1"))
       val b = banded.select(col("band"), col("key"), col("doc_id").as("id2"), col("sh").as("sh2"))
       val ham = bit_count(conv(col("sh1"), 2, 10).cast("long")
@@ -963,8 +971,11 @@ object SparkEntry {
       s"""WITH toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents),
          |hashed AS (SELECT doc_id, md5(tok) AS h FROM toks WHERE length(tok) > 0),
          |sig AS (SELECT doc_id, $bits AS sh FROM hashed GROUP BY doc_id),
+         |banded0 AS (
+         |$bands),
          |banded AS (
-         |$bands)
+         |  SELECT * FROM banded0 WHERE (band, key) IN (
+         |    SELECT (band, key) FROM banded0 GROUP BY band, key HAVING count(*) <= 128))
          |SELECT DISTINCT a.doc_id AS id1, c.doc_id AS id2,
          |  CAST(bit_count(xor(a.sh::BIT, c.sh::BIT)) AS INT) AS hamming
          |FROM banded a JOIN banded c ON a.band = c.band AND a.key = c.key AND a.doc_id < c.doc_id

@@ -81,6 +81,14 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(p.contains("64"), s"hot-shingle df guard missing from plan:\n$p")
   }
 
+  test("simhash pairing is an equi-join on (band, key) with a df guard") {
+    val q = SparkEntry.queries("q44_simhash_pairs")
+    val p = plan(q(spark, sf))
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"simhash pairing degenerated to a product join:\n$p")
+    assert(p.contains("128"), s"hot-band df guard missing from plan:\n$p")
+  }
+
   test("trigram frequency join broadcasts the LM side") {
     val q = SparkEntry.queries("q33_trigram_freq")
     val p = plan(q(spark, sf))

@@ -310,9 +310,11 @@ object SparkEntry {
           "transform(sequence(1, greatest(length(text) - 11, 1), 7), i -> substring(text, i, 12))"
         )).as("sh")).distinct()
       val sizes = shingles.groupBy(col("doc_id")).agg(count(lit(1)).as("sz"))
-      val rare = shingles.join(
-        shingles.groupBy(col("sh")).agg(count(lit(1)).as("df"))
-          .filter(col("df") <= 64).select(col("sh")), Seq("sh"))
+      // windowed df over sh shares the join's shuffle — shingle set is
+      // computed once, not once per guard branch
+      val rare = shingles
+        .withColumn("df", count(lit(1)).over(Window.partitionBy(col("sh"))))
+        .filter(col("df") <= 64).drop("df")
       val a = rare.select(col("doc_id").as("id1"), col("sh"))
       val b = rare.select(col("doc_id").as("id2"), col("sh"))
       val common = a.join(b, Seq("sh")).filter(col("id1") < col("id2"))
@@ -391,11 +393,13 @@ object SparkEntry {
       // hot-band guard (mirrored in the oracle): a band key shared by most
       // of the corpus is uninformative and would emit O(df^2) join rows —
       // the same skew guard as q16's hot shingles. Pairs it drops can
-      // still collide in a rarer band.
-      val banded = banded0.join(
-        banded0.groupBy(col("band"), col("key")).agg(count(lit(1)).as("df"))
-          .filter(col("df") <= 128).select(col("band"), col("key")),
-        Seq("band", "key"))
+      // still collide in a rarer band. Windowed count over (band, key)
+      // reuses the one shuffle the join needs anyway, so the signature
+      // aggregation is computed ONCE (a join against a groupBy would
+      // recompute the whole signature stage on the second branch).
+      val wDf = Window.partitionBy(col("band"), col("key"))
+      val banded = banded0.withColumn("df", count(lit(1)).over(wDf))
+        .filter(col("df") <= 128).drop("df")
       val a = banded.select(col("band"), col("key"), col("doc_id").as("id1"), col("sh").as("sh1"))
       val b = banded.select(col("band"), col("key"), col("doc_id").as("id2"), col("sh").as("sh2"))
       val ham = bit_count(conv(col("sh1"), 2, 10).cast("long")

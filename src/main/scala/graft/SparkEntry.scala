@@ -459,9 +459,12 @@ object SparkEntry {
     }),
 
     // IVF ANN (the other scale path besides LSH): coarse quantizer =
-    // 8 deterministic centroids (vec_id < 8); every vector is assigned to
-    // its nearest centroid (the inverted file); each query (vec_id < 3)
-    // probes its nprobe=2 nearest cells and ranks only those candidates.
+    // k = max(8, ceil(sqrt(n))) deterministic centroids (vec_id < k), so
+    // cells hold ~sqrt(n) vectors and candidate work per query stays
+    // O(nprobe * sqrt(n)) as the table grows (the standard IVF sizing;
+    // n comes from parquet metadata, not a scan). Every vector is
+    // assigned to its nearest centroid (the inverted file); each query
+    // (vec_id < 3) probes its nprobe=2 nearest cells.
     // Cell assignment is ROW-LOCAL: the centroid set is collapsed to one
     // broadcast array row and each vector computes its argmin over that
     // array with higher-order functions — zero shuffle, no window. Struct
@@ -470,7 +473,8 @@ object SparkEntry {
     "q40_ann_ivf" -> ((s, dir) => {
       val emb = t(s, dir, "embeddings").select(col("vec_id"),
         expr("transform(embedding, x -> cast(x as double))").as("v"))
-      val centArr = emb.filter(col("vec_id") < 8)
+      val k = math.max(8L, math.ceil(math.sqrt(t(s, dir, "embeddings").count().toDouble)).toLong)
+      val centArr = emb.filter(col("vec_id") < k)
         .agg(sort_array(collect_list(struct(col("vec_id").as("cid"), col("v").as("cv"))))
           .as("cents"))
       // per-centroid squared distance, ranked row-locally
@@ -1018,7 +1022,8 @@ object SparkEntry {
     },
     "q40_ann_ivf" ->
       """WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
-        |c AS (SELECT vec_id AS cid, v AS cv FROM e WHERE vec_id < 8),
+        |c AS (SELECT vec_id AS cid, v AS cv FROM e
+        |      WHERE vec_id < GREATEST(8, CAST(CEIL(SQRT((SELECT count(*) FROM embeddings))) AS BIGINT))),
         |ad AS (
         |  SELECT vec_id, v, cid,
         |    row_number() OVER (PARTITION BY vec_id ORDER BY d2 ASC, cid ASC) AS rn

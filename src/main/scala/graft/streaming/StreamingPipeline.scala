@@ -3,8 +3,9 @@ package graft.streaming
 import graft.core.{CorrectedPage, PageRow}
 import graft.fixtures.PagesGen
 import graft.pipeline.Pipeline
-import org.apache.spark.sql.{Dataset, SparkSession}
-import org.apache.spark.sql.streaming.{DataStreamWriter, Trigger}
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{DataStreamWriter, GroupState, GroupStateTimeout, OutputMode, Trigger}
 
 /** Structured Streaming front-end for the extraction pipeline.
   *
@@ -36,6 +37,38 @@ object StreamingPipeline {
   /** The streaming pipeline: identical stage functions as batch. */
   def corrected(pages: Dataset[PageRow]): Dataset[CorrectedPage] =
     Pipeline.correct(Pipeline.align(Pipeline.segment(pages)))
+
+  /** Stateful cross-batch url dedup via mapGroupsWithState: a crawl feed
+    * re-delivers urls (recrawls, retries); the first sighting wins and
+    * later deliveries are dropped, with per-key state in the state store
+    * (the streaming analog of the batch ledger's skip-if-done). State is
+    * one boolean per url; on a real cluster the key space is bounded by
+    * RocksDB state-store spill.
+    */
+  def dedupFirstSeen(pages: Dataset[PageRow]): Dataset[PageRow] = {
+    import pages.sparkSession.implicits._
+    pages.groupByKey(_.url)
+      .flatMapGroupsWithState[Boolean, PageRow](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        (_: String, rows: Iterator[PageRow], state: GroupState[Boolean]) =>
+          if (state.exists) Iterator.empty
+          else {
+            state.update(true)
+            rows.take(1)
+          }
+      }
+  }
+
+  /** Watermarked per-host ingest rate: tumbling 1-hour windows over the
+    * page's own `warc_ts` event time, 2-hour watermark for late crawls —
+    * the standard streaming windowed aggregation over the corrected feed.
+    */
+  def hostWindowCounts(pages: Dataset[PageRow]): DataFrame =
+    pages
+      .withColumn("host", regexp_extract(col("url"), "https://([^/]+)/", 1))
+      .withWatermark("warc_ts", "2 hours")
+      .groupBy(window(col("warc_ts"), "1 hour"), col("host"))
+      .agg(count(lit(1)).as("n_pages"))
 
   /** Parquet sink with exactly-once micro-batch commits. */
   def writer(

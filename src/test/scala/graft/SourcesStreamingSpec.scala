@@ -88,3 +88,56 @@ class SourcesStreamingSpec extends AnyFunSuite {
     rmTree(Paths.get(out)); rmTree(Paths.get(ckpt))
   }
 }
+
+class StatefulStreamingSpec extends AnyFunSuite {
+  lazy val spark: SparkSession = SparkTestSession.spark
+
+  test("stateful url dedup drops re-deliveries across micro-batches") {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[Long]
+    val pages = in.toDS().map(i => PagesGen.page(i).row)
+    val deduped = StreamingPipeline.dedupFirstSeen(pages)
+      .map(_.url).toDF("url")
+    val q = deduped.writeStream.format("memory").queryName("dedup_out")
+      .outputMode("append")
+      .option("checkpointLocation",
+        Files.createTempDirectory("graft-dedup-ckpt").toString)
+      .start()
+    try {
+      in.addData(0L, 1L, 2L, 1L) // batch 1: url p1 duplicated in-batch
+      q.processAllAvailable()
+      in.addData(2L, 3L) // batch 2: p2 re-delivered across batches
+      q.processAllAvailable()
+      val urls = spark.table("dedup_out").collect().map(_.getString(0)).sorted
+      val expected = Seq(0L, 1L, 2L, 3L).map(i => PagesGen.page(i).row.url).sorted
+      assert(urls.toSeq == expected, s"got ${urls.toSeq}")
+    } finally q.stop()
+  }
+
+  test("watermarked tumbling-window host counts aggregate event time") {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[Long]
+    val counts = StreamingPipeline.hostWindowCounts(
+      in.toDS().map(i => PagesGen.page(i).row))
+    val q = counts.writeStream.format("memory").queryName("host_windows")
+      .outputMode("update")
+      .option("checkpointLocation",
+        Files.createTempDirectory("graft-win-ckpt").toString)
+      .start()
+    try {
+      in.addData(0L until 30L: _*) // 30 pages, one per hour of event time
+      q.processAllAvailable()
+      val rows = spark.table("host_windows")
+        .select(col("host"), col("n_pages")).collect()
+      // pages land in 1-hour tumbling windows: warc_ts(i) = epoch + i h,
+      // so every (window, host) cell holds exactly one page
+      assert(rows.map(_.getLong(1)).sum == 30L)
+      assert(rows.forall(_.getLong(1) == 1L))
+      assert(rows.forall(_.getString(0).startsWith("host")))
+    } finally q.stop()
+  }
+}

@@ -226,6 +226,19 @@ object SparkEntry {
         .orderBy(col("n_name"), col("r_name"))
     }),
 
+    // Catalyst optimizer rule end-to-end (SparkSessionExtensions): the
+    // query writes the NAIVE predicate `levenshtein(a,b) <= 7`;
+    // BoundedLevPredicateRewrite swaps in the banded O(k*n) kernel at
+    // optimization time — the oracle runs the same naive SQL, so the
+    // rewrite must be outcome-identical
+    "q45_lev_predicate_rewrite" -> ((s, dir) => {
+      graft.plans.BoundedLevPredicateRewrite.inject(s)
+      t(s, dir, "nation").crossJoin(t(s, dir, "region"))
+        .filter(levenshtein(col("n_name"), col("r_name")) <= 7)
+        .select(col("n_name"), col("r_name"))
+        .orderBy(col("n_name"), col("r_name"))
+    }),
+
     // tokenize + token count (aio.py:454-460 role)
     "q13_token_count" -> ((s, dir) => {
       t(s, dir, "documents")
@@ -908,6 +921,10 @@ object SparkEntry {
     "q39_bounded_lev" ->
       """SELECT n_name, r_name, least(levenshtein(n_name, r_name), 4) AS bd
         |FROM nation CROSS JOIN region ORDER BY n_name, r_name""".stripMargin,
+    "q45_lev_predicate_rewrite" ->
+      """SELECT n_name, r_name FROM nation CROSS JOIN region
+        |WHERE levenshtein(n_name, r_name) <= 7
+        |ORDER BY n_name, r_name""".stripMargin,
     "q13_token_count" ->
       """SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
         |  CAST(length(text) AS BIGINT) AS len_chars

@@ -70,3 +70,49 @@ class FunctionsSpec extends AnyFunSuite {
     assert(math.abs(wer - 2.0 / 9.0) < 1e-12)
   }
 }
+
+class ExtensionsSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+
+  test("optimizer rule rewrites bounded levenshtein predicates to the banded kernel") {
+    import org.apache.spark.sql.functions._
+    graft.plans.BoundedLevPredicateRewrite.inject(spark)
+    // parquet-backed source: a local Seq would be constant-folded to a
+    // LocalRelation before the plan can show the rewrite
+    val df = spark.read.parquet("/root/testdata/sf0.001/nation.parquet")
+      .crossJoin(spark.read.parquet("/root/testdata/sf0.001/region.parquet"))
+      .select(org.apache.spark.sql.functions.col("n_name").as("a"),
+        org.apache.spark.sql.functions.col("r_name").as("b"))
+    val q = df.filter(levenshtein(col("a"), col("b")) <= 2)
+    val opt = q.queryExecution.optimizedPlan.toString.toLowerCase
+    assert(opt.contains("boundedlevenshtein") || opt.contains("graft_lev_bounded"),
+      s"predicate not rewritten:\n$opt")
+    // identical results to the unbounded predicate (banded kernel returns
+    // min(d, k+1), so the comparison outcome matches for every row)
+    val expected = df.collect().filter(r =>
+      graft.core.Edist.levenshtein(r.getString(0), r.getString(1)) <= 2)
+      .map(_.getString(0)).sorted.toSeq
+    assert(q.collect().map(_.getString(0)).sorted.toSeq == expected)
+    // strict and reversed comparison shapes too
+    val q2 = df.filter(levenshtein(col("a"), col("b")) < 2)
+    assert(q2.queryExecution.optimizedPlan.toString.toLowerCase.contains("boundedlevenshtein"))
+    assert(q2.collect().map(_.getString(0)).sorted.toSeq ==
+      df.collect().filter(r =>
+        graft.core.Edist.levenshtein(r.getString(0), r.getString(1)) < 2)
+        .map(_.getString(0)).sorted.toSeq)
+    val q3 = df.filter(levenshtein(col("a"), col("b")) > 2)
+    assert(q3.collect().map(_.getString(0)).sorted.toSeq ==
+      df.collect().filter(r =>
+        graft.core.Edist.levenshtein(r.getString(0), r.getString(1)) > 2)
+        .map(_.getString(0)).sorted.toSeq)
+  }
+
+  test("GraftExtensions installs the rule and the SQL function") {
+    val ext = new org.apache.spark.sql.SparkSessionExtensions
+    new graft.plans.GraftExtensions()(ext) // must register without throwing
+    // the banded kernel agrees with full levenshtein below the bound and
+    // caps at bound+1 above it
+    assert(graft.functions.Lev.bounded("kitten", "sitting", 3) == 3)
+    assert(graft.functions.Lev.bounded("aaaaaaaaaa", "bbbbbbbbbb", 3) == 4)
+  }
+}

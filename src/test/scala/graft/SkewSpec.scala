@@ -53,3 +53,25 @@ class SkewSpec extends AnyFunSuite {
     assert(buckets >= 12, s"hot key landed in only $buckets/16 salt buckets")
   }
 }
+
+class VectorOpsSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+
+  test("one Lloyd iteration strictly improves the IVF quantizer (SSE decreases)") {
+    import org.apache.spark.sql.functions._
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+      .select(col("vec_id"), expr("transform(embedding, x -> cast(x as double))").as("v"))
+    val seeds = emb.filter(col("vec_id") < 8)
+      .collect().map(r => (r.getLong(0).toInt,
+        r.getSeq[Double](1).toArray)).toSeq
+    val sse0 = graft.operators.VectorOps.sse(emb, seeds)
+    val refined = graft.operators.VectorOps.lloydOnce(emb, seeds)
+    val sse1 = graft.operators.VectorOps.sse(emb, refined)
+    assert(refined.nonEmpty && refined.forall(_._2.length == 64))
+    assert(sse1 < sse0, s"Lloyd step did not improve: $sse0 -> $sse1")
+    // deterministic
+    val again = graft.operators.VectorOps.lloydOnce(emb, seeds)
+    assert(refined.map(_._1) == again.map(_._1))
+    assert(refined.zip(again).forall { case ((_, a), (_, b)) => a.sameElements(b) })
+  }
+}

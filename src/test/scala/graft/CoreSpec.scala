@@ -219,3 +219,31 @@ class LearnedProfileSpec extends AnyFunSuite {
     assert(profile == graft.pipeline.Pipeline.learnProfile(spark, 200))
   }
 }
+
+class EdgePageSpec extends AnyFunSuite {
+  test("pages with no text blocks flow through segment/align/correct") {
+    import graft.core._
+    val empty = PageRow("https://edge.example/p0",
+      new java.sql.Timestamp(0L), "<html><body></body></html>".getBytes("UTF-8"), "", "en")
+    val noText = PageRow("https://edge.example/p1",
+      new java.sql.Timestamp(0L),
+      "<html><body><nav><a href=\"/\">only boilerplate</a></nav><img src=\"x\"/></body></html>"
+        .getBytes("UTF-8"), "", "en")
+    Seq(empty, noText).foreach { p =>
+      val sp = graft.pipeline.Pipeline.segmentPage(p)
+      assert(!sp.blocks.exists(_.kind == "text"))
+      val ap = graft.pipeline.Pipeline.alignPage(sp)
+      assert(ap.lines.isEmpty)
+      val cp = graft.pipeline.Pipeline.correctPage(ap,
+        graft.fixtures.PagesGen.lexiconFor("de"), graft.fixtures.PagesGen.lexiconFor("en"))
+      assert(cp.text == "" && cp.nCorrections == 0)
+    }
+  }
+
+  test("malformed bytes fall back to Latin-1 and still segment") {
+    val bad = Array[Byte]('<'.toByte, 'p'.toByte, '>'.toByte, 0xff.toByte, 0xfe.toByte,
+      'a'.toByte, 'b'.toByte, '<'.toByte, '/'.toByte, 'p'.toByte, '>'.toByte)
+    val blocks = graft.core.HtmlBlocks.segment(bad)
+    assert(blocks.nonEmpty) // no exception; Latin-1 decode path
+  }
+}

@@ -89,6 +89,21 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(p.contains("128"), s"hot-band df guard missing from plan:\n$p")
   }
 
+  test("shuffled alignment path has one shuffle boundary, keyed on the group key") {
+    val aligned = graft.pipeline.Pipeline.alignShuffled(
+      graft.pipeline.Pipeline.generate(spark, 50))
+    val p = aligned.queryExecution.executedPlan.toString
+    // Spark pushes the exchange below the union: one Exchange per
+    // extractor branch, all on the SAME group key = one stage boundary.
+    val keys = "Exchange hashpartitioning\\((\\w+)#".r
+      .findAllMatchIn(p).map(_.group(1)).toSeq
+    assert(keys.nonEmpty && keys.distinct.size == 1,
+      s"expected one shuffle key, got $keys:\n$p")
+    assert(keys.size <= graft.pipeline.Pipeline.extractors.length,
+      s"more exchanges than union branches: $keys")
+    assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"))
+  }
+
   test("trigram frequency join broadcasts the LM side") {
     val q = SparkEntry.queries("q33_trigram_freq")
     val p = plan(q(spark, sf))

@@ -380,6 +380,11 @@ object Corrector {
     contextOf(raw, ctx, wordConf, glyphConfs, linePos, lineOverlap) match {
       case None => (raw, false)
       case Some(t) =>
+        // in-lexicon tokens are never corrected (decide's first guard) and
+        // never need LE — skip candidate generation entirely. This is the
+        // hot path: ~85% of tokens are clean lexicon words, and the
+        // SymSpell neighborhood walk is the most expensive per-token step.
+        if (lex.contains(t.token)) return (raw, false)
         val cands = Profiler.candidates(t.token, lex)
         // LE gate: an OOV token the LE model accepts is a valid word —
         // extend the (document-local) lexicon instead of correcting

@@ -142,6 +142,27 @@ object SparkEntry {
         .orderBy(col("user_id"))
     }),
 
+    // the SCALE path for q23's overlap count: a range-frame window scan,
+    // O(k log k) per user instead of the self-join's O(k^2) on hot users.
+    // Per event, pairs it opens = events in (ts, ts+1h] plus later-id
+    // ties; the row_number over (user, ts) subtracts self and earlier-id
+    // ties so every unordered pair is counted exactly once. The oracle is
+    // the JOIN-based SQL — both formulations must agree row-for-row.
+    "q46_overlap_window" -> ((s, dir) => {
+      val us = unix_micros(col("ts").cast("timestamp"))
+      val wR = Window.partitionBy(col("user_id")).orderBy(col("us"))
+        .rangeBetween(0, 3600000000L)
+      val wT = Window.partitionBy(col("user_id"), col("us")).orderBy(col("event_id"))
+      t(s, dir, "events")
+        .withColumn("us", us)
+        .withColumn("n_after",
+          count(lit(1)).over(wR) - row_number().over(wT))
+        .groupBy(col("user_id"))
+        .agg(sum(col("n_after")).cast("long").as("overlap_pairs"))
+        .filter(col("overlap_pairs") > 0)
+        .orderBy(col("user_id"))
+    }),
+
     // ---- §2.5 window / ranking / top-k ----
 
     // select_regions top-k (morph.py:309-330)
@@ -879,6 +900,12 @@ object SparkEntry {
         |JOIN region ON n_regionkey = r_regionkey
         |GROUP BY r_name, n_name ORDER BY r_name, n_name""".stripMargin,
     "q23_overlap_join" ->
+      """SELECT e1.user_id, count(*) AS overlap_pairs
+        |FROM events e1 JOIN events e2 ON e1.user_id = e2.user_id
+        |WHERE e1.event_id < e2.event_id
+        |  AND abs(epoch_us(e1.ts) - epoch_us(e2.ts)) <= 3600000000
+        |GROUP BY e1.user_id ORDER BY e1.user_id""".stripMargin,
+    "q46_overlap_window" ->
       """SELECT e1.user_id, count(*) AS overlap_pairs
         |FROM events e1 JOIN events e2 ON e1.user_id = e2.user_id
         |WHERE e1.event_id < e2.event_id

@@ -34,7 +34,9 @@ object Bench {
     def oneRun(): Long =
       Pipeline.run(Pipeline.generate(spark, nDocs, partitions = cpus.toInt * 4)).count()
     oneRun()
-    val (pipelineSec, done) = (1 to 3).map { _ =>
+    // best-of-5: this host stalls for whole seconds under noisy
+    // neighbors; the min is the undisturbed measurement
+    val (pipelineSec, done) = (1 to 5).map { _ =>
       val t0 = System.nanoTime()
       val c = oneRun()
       ((System.nanoTime() - t0) / 1e9, c)

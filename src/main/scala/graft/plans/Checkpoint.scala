@@ -143,27 +143,37 @@ object Checkpoint {
       outSchema = transformed.schema
 
       // per-bucket stats from inside the write job: rows per bucket and
-      // task wall attributed to each bucket proportionally by row count
+      // task wall attributed to each bucket proportionally by row count.
+      // Stats carry (partitionId, attempt) because accumulators in
+      // TRANSFORMATIONS are not retry-exactly-once: a retried or
+      // speculative task adds its tuples again, so the driver keeps only
+      // each partition's highest attempt (the one whose write committed).
       val statsAcc = spark.sparkContext
-        .collectionAccumulator[(Int, Long, Long)](s"graft.ledger.$stage")
-      val migratedAcc = spark.sparkContext.longAccumulator(s"graft.migrated.$stage")
+        .collectionAccumulator[(Int, Int, Int, Long, Long)](s"graft.ledger.$stage")
+      val migratedAcc = spark.sparkContext
+        .collectionAccumulator[(Int, Int, Long)](s"graft.migrated.$stage")
       val todoSet = todo.toSet
       val bIdx = transformed.schema.fieldIndex("p_bucket")
       val enc = Encoders.row(transformed.schema)
       val tracked = transformed.mapPartitions { it =>
         val t0 = System.currentTimeMillis()
         val counts = scala.collection.mutable.HashMap.empty[Int, Long]
-        Option(TaskContext.get()).foreach(_.addTaskCompletionListener[Unit] { _ =>
+        var migrated = 0L
+        val tc = Option(TaskContext.get())
+        val pid = tc.map(_.partitionId()).getOrElse(0)
+        val att = tc.map(_.attemptNumber()).getOrElse(0)
+        tc.foreach(_.addTaskCompletionListener[Unit] { _ =>
           val wall = System.currentTimeMillis() - t0
           val total = counts.values.sum.max(1L)
           counts.foreach { case (b, n) =>
-            statsAcc.add((b, n, math.max(1L, wall * n / total)))
+            statsAcc.add((pid, att, b, n, math.max(1L, wall * n / total)))
           }
+          migratedAcc.add((pid, att, migrated))
         })
         it.map { r =>
           val b = r.getInt(bIdx)
           if (todoSet.contains(b)) counts(b) = counts.getOrElse(b, 0L) + 1L
-          else migratedAcc.add(1L)
+          else migrated += 1L
           r
         }
       }(enc)
@@ -174,16 +184,31 @@ object Checkpoint {
         .partitionBy("p_bucket")
         .parquet(out)
 
+      // keep only each partition's final attempt
+      val lastAttempt = new scala.collection.mutable.HashMap[Int, Int]()
+      statsAcc.value.forEach { case (pid, att, _, _, _) =>
+        if (att > lastAttempt.getOrElse(pid, -1)) lastAttempt(pid) = att
+      }
+      migratedAcc.value.forEach { case (pid, att, _) =>
+        if (att > lastAttempt.getOrElse(pid, -1)) lastAttempt(pid) = att
+      }
+
       // key-stability contract check BEFORE any ledger commit: migrated
       // rows mean f rewrote keyCol; their buckets were (wrongly) rewritten
-      require(migratedAcc.value == 0L,
-        s"stage '$stage': ${migratedAcc.value} rows migrated outside the " +
+      var migratedRows = 0L
+      migratedAcc.value.forEach { case (pid, att, m) =>
+        if (att == lastAttempt.getOrElse(pid, 0)) migratedRows += m
+      }
+      require(migratedRows == 0L,
+        s"stage '$stage': $migratedRows rows migrated outside the " +
           s"pending bucket set — the transform rewrote '$keyCol' values")
 
       val stats = new scala.collection.mutable.HashMap[Int, (Long, Long)]()
-      statsAcc.value.forEach { case (b, n, w) =>
-        val (pn, pw) = stats.getOrElse(b, (0L, 0L))
-        stats(b) = (pn + n, pw + w)
+      statsAcc.value.forEach { case (pid, att, b, n, w) =>
+        if (att == lastAttempt.getOrElse(pid, 0)) {
+          val (pn, pw) = stats.getOrElse(b, (0L, 0L))
+          stats(b) = (pn + n, pw + w)
+        }
       }
       val now = System.currentTimeMillis()
       // ledger commit AFTER the data commit: a crash between the two

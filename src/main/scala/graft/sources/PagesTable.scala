@@ -38,16 +38,33 @@ object PagesTable {
       // tasks x partitions writer inits
       .repartition(col("p_day"), col("p_bucket"))
     // manifest row count from the SAME job as the write (accumulator) —
-    // re-reading the table just to count paid a second full scan
-    val rowsAcc = spark.sparkContext.longAccumulator("pagesTableRows")
+    // re-reading the table just to count paid a second full scan. Tuples
+    // carry (partitionId, attempt): transformation-side accumulators are
+    // not retry-exactly-once, so only each partition's final attempt
+    // counts (same protocol as Checkpoint's ledger stats).
+    val rowsAcc = spark.sparkContext
+      .collectionAccumulator[(Int, Int, Long)]("pagesTableRows")
     val counted = df.mapPartitions { it =>
-      it.map { r => rowsAcc.add(1L); r }
+      val tc = Option(org.apache.spark.TaskContext.get())
+      val pid = tc.map(_.partitionId()).getOrElse(0)
+      val att = tc.map(_.attemptNumber()).getOrElse(0)
+      var n = 0L
+      tc.foreach(_.addTaskCompletionListener[Unit](_ => rowsAcc.add((pid, att, n))))
+      it.map { r => n += 1L; r }
     }(Encoders.row(df.schema))
     counted.write.mode(SaveMode.Overwrite)
       .partitionBy("p_day", "p_bucket")
       .parquet(s"$root/data")
+    val lastAttempt = new scala.collection.mutable.HashMap[Int, Int]()
+    rowsAcc.value.forEach { case (pid, att, _) =>
+      if (att > lastAttempt.getOrElse(pid, -1)) lastAttempt(pid) = att
+    }
+    var rows = 0L
+    rowsAcc.value.forEach { case (pid, att, n) =>
+      if (att == lastAttempt.getOrElse(pid, 0)) rows += n
+    }
     val manifest =
-      s"""{"format":"pages-table-v1","buckets":$buckets,"partitioning":["days(warc_ts)","bucket(url,$buckets)"],"rows":${rowsAcc.value}}"""
+      s"""{"format":"pages-table-v1","buckets":$buckets,"partitioning":["days(warc_ts)","bucket(url,$buckets)"],"rows":$rows}"""
     // manifest via the Hadoop FS API: root may be HDFS/S3, and a single
     // file create is atomic on object stores
     val fs = new Path(root).getFileSystem(spark.sparkContext.hadoopConfiguration)

@@ -23,6 +23,8 @@ class SourcesStreamingSpec extends AnyFunSuite {
     val n = 120
     PagesTable.write(Pipeline.generate(spark, n), root, buckets = 8)
     assert(Files.exists(Paths.get(root, "manifest.json")))
+    // row count measured inside the write job (retry-safe accumulator)
+    assert(Files.readString(Paths.get(root, "manifest.json")).contains(s""""rows":$n"""))
 
     // logical schema round-trip, byte-identical html
     val back = PagesTable.logical(spark, root).collect().map(p => p.url -> p).toMap

@@ -1212,6 +1212,14 @@ object SparkEntry {
     "p12_pages_table" ->
       """SELECT CAST(15706 + i // 24 AS INT) AS p_day, count(*) AS n_pages
         |FROM range(100) t(i) GROUP BY p_day ORDER BY p_day""".stripMargin,
+    "p07_media_meta" ->
+      """SELECT url, mediaType, nBytes, checksum, width, height, durationMs
+        |FROM read_parquet('/tmp/graft_expected/media_meta.parquet/*.parquet')
+        |ORDER BY url""".stripMargin,
+    "p08_frame_sample" ->
+      """SELECT url, frame_idx, span_start, span_stop
+        |FROM read_parquet('/tmp/graft_expected/frames.parquet/*.parquet')
+        |ORDER BY url, frame_idx""".stripMargin,
     "q43_confusion_profile" ->
       """SELECT pat_left, pat_right, cnt
         |FROM read_parquet('/tmp/graft_expected/confusions.parquet/*.parquet')

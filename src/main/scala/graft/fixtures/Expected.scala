@@ -215,6 +215,40 @@ object Expected {
     }.toDF("url", "lang", "corrected_text", "n_corrections", "golden")
       .coalesce(1).write.mode("overwrite").parquet(s"$dir/corrected.parquet")
 
+    // expected media metadata (p07) and frame spans (p08): payloads are
+    // the generator's own html bytes, the checksum is an INDEPENDENT
+    // FNV-1a implementation (a public standard hash — recomputing it here
+    // cross-checks payload integrity through the mapPartitions plumbing),
+    // header fields replicate the documented StubCodec formulas (the stub
+    // IS the spec until a real codec ships), and frame spans are the
+    // structural evenly-spaced-slice rule.
+    def fnv1a(bytes: Array[Byte]): Long = {
+      var h = 0xcbf29ce484222325L
+      bytes.foreach { b => h ^= b & 0xffL; h *= 0x100000001b3L }
+      h
+    }
+    ids.map { i =>
+      val tp = PagesGen.page(i)
+      val h = fnv1a(tp.row.html)
+      val w = 160 + (Math.floorMod(h, 8L) * 80L).toInt
+      val ht = 120 + (Math.floorMod(h >>> 8, 8L) * 60L).toInt
+      val dur = 1000L + Math.floorMod(h >>> 16, 60000L)
+      (tp.row.url, "text/html", tp.row.html.length.toLong, h, w, ht, dur)
+    }.toDF("url", "mediaType", "nBytes", "checksum", "width", "height", "durationMs")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/media_meta.parquet")
+
+    ids.flatMap { i =>
+      val tp = PagesGen.page(i)
+      val len = tp.row.html.length.toLong
+      val frameBytes = 64L
+      val frames = math.min(4L, math.max(1L, len / frameBytes)).toInt
+      (0 until frames).map { k =>
+        val start = math.max(0L, len - frameBytes) * k / math.max(1, frames - 1).toLong
+        (tp.row.url, k, start, math.min(len, start + frameBytes))
+      }
+    }.toDF("url", "frame_idx", "span_start", "span_stop")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/frames.parquet")
+
     // expected confusion-profile counts, aggregated driver-side from the
     // generator's word-parallel (true, corrupted) pairs — a different data
     // path than the engine's (segment -> line zip -> line-level alignment

@@ -1212,6 +1212,10 @@ object SparkEntry {
     "p12_pages_table" ->
       """SELECT CAST(15706 + i // 24 AS INT) AS p_day, count(*) AS n_pages
         |FROM range(100) t(i) GROUP BY p_day ORDER BY p_day""".stripMargin,
+    "p10_checkpoint_ledger" ->
+      """SELECT stage, bucket, rows
+        |FROM read_parquet('/tmp/graft_expected/ledger.parquet/*.parquet')
+        |ORDER BY bucket""".stripMargin,
     "p07_media_meta" ->
       """SELECT url, mediaType, nBytes, checksum, width, height, durationMs
         |FROM read_parquet('/tmp/graft_expected/media_meta.parquet/*.parquet')

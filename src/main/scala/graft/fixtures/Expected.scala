@@ -249,6 +249,20 @@ object Expected {
     }.toDF("url", "frame_idx", "span_start", "span_stop")
       .coalesce(1).write.mode("overwrite").parquet(s"$dir/frames.parquet")
 
+    // expected checkpoint ledger (p10): bucket = pmod(xxhash64(url), 8)
+    // over the 200-page corpus, recomputed with the INDEPENDENT XXH64
+    // implementation (XxHash64Ref) — cross-checks the engine's bucket
+    // assignment and per-bucket row accounting without Spark's hasher
+    val ledgerCounts = scala.collection.mutable.TreeMap.empty[Int, Long]
+    (0L until 200L).foreach { i =>
+      val h = XxHash64Ref.sparkHash(PagesGen.page(i).row.url)
+      val b = (((h % 8) + 8) % 8).toInt
+      ledgerCounts(b) = ledgerCounts.getOrElse(b, 0L) + 1L
+    }
+    ledgerCounts.toSeq.map { case (b, c) => ("segment", b, c) }
+      .toDF("stage", "bucket", "rows")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/ledger.parquet")
+
     // expected confusion-profile counts, aggregated driver-side from the
     // generator's word-parallel (true, corrupted) pairs — a different data
     // path than the engine's (segment -> line zip -> line-level alignment

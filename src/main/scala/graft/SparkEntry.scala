@@ -1212,6 +1212,13 @@ object SparkEntry {
     "p12_pages_table" ->
       """SELECT CAST(15706 + i // 24 AS INT) AS p_day, count(*) AS n_pages
         |FROM range(100) t(i) GROUP BY p_day ORDER BY p_day""".stripMargin,
+    // p09's contract is structural: fixed featureDim=16 and
+    // unit-normalized vectors (sum of squares = 1.0 exactly to 3 decimals
+    // for every non-empty payload) — both independently checkable
+    "p09_media_features" ->
+      """SELECT url, CAST(16 AS INT) AS dim, CAST(1000 AS BIGINT) AS sq_norm_x1000
+        |FROM read_parquet('/tmp/graft_expected/media_meta.parquet/*.parquet')
+        |ORDER BY url""".stripMargin,
     "p10_checkpoint_ledger" ->
       """SELECT stage, bucket, rows
         |FROM read_parquet('/tmp/graft_expected/ledger.parquet/*.parquet')

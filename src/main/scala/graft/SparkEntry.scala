@@ -517,10 +517,13 @@ object SparkEntry {
           |  aggregate(zip_with(v, c.cv, (x, y) -> (x - y) * (x - y)),
           |            cast(0 as double), (acc, x) -> acc + x) AS d2,
           |  c.cid AS cid)))""".stripMargin)
-      val withDists = emb.crossJoin(broadcast(centArr)).withColumn("ds", dists)
-      val assigned = withDists
+      val assigned = emb.crossJoin(broadcast(centArr)).withColumn("ds", dists)
         .select(col("vec_id"), col("v"), expr("ds[0].cid").as("cid"))
-      val probes = withDists.filter(col("vec_id") < 3)
+      // probes from a SEPARATE pre-filtered branch: the vec_id < 3 filter
+      // pushes to the scan, so the nprobe cell ranking is computed for 3
+      // vectors instead of re-deriving the full n-vector distance stage
+      val probes = emb.filter(col("vec_id") < 3)
+        .crossJoin(broadcast(centArr)).withColumn("ds", dists)
         .select(col("vec_id").as("qid"), col("v").as("qv"),
           explode(expr("transform(slice(ds, 1, 2), x -> x.cid)")).as("cid"))
       val dot = expr("aggregate(zip_with(qv, v, (x, y) -> x * y), cast(0 as double), (acc, x) -> acc + x)")

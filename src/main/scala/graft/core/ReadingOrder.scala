@@ -75,6 +75,53 @@ object ReadingOrder {
     out.toSeq
   }
 
+  /** Recursive X-Y cut (the lines2regions region-former the reference
+    * builds geometrically, ocropy/common.py:1172-1810): split the box set
+    * at the WIDEST empty gap, alternating between horizontal cuts (gaps in
+    * y-coverage) and vertical cuts (gaps in x-coverage), recursing until
+    * no gap of at least `minGap` remains. Returns the region index per
+    * input box, regions numbered in reading order (top-before-bottom,
+    * left-before-right).
+    */
+  def xyCut(boxes: IndexedSeq[Box], minGap: Double = 1.0): IndexedSeq[Int] = {
+    val out = new Array[Int](boxes.length)
+    var next = 0
+    // widest gap in the 1-D coverage of `lo..hi` intervals; None if < minGap
+    def widestGap(ivs: Seq[(Double, Double)]): Option[Double] = {
+      val sorted = ivs.sortBy(_._1)
+      var coverEnd = sorted.head._2
+      var best = 0.0; var bestAt = 0.0
+      sorted.drop(1).foreach { case (lo, hi) =>
+        if (lo > coverEnd && lo - coverEnd > best) { best = lo - coverEnd; bestAt = (lo + coverEnd) / 2 }
+        if (hi > coverEnd) coverEnd = hi
+      }
+      if (best >= minGap) Some(bestAt) else None
+    }
+    def recurse(idx: Seq[Int], tryY: Boolean, tryX: Boolean): Unit = {
+      if (idx.isEmpty) return
+      if (!tryY && !tryX) { idx.foreach(out(_) = next); next += 1; return }
+      val yGap = if (tryY) widestGap(idx.map(i => (boxes(i).y0, boxes(i).y1))) else None
+      yGap match {
+        case Some(cut) =>
+          val (above, below) = idx.partition(i => boxes(i).y1 <= cut)
+          recurse(above, tryY = true, tryX = true)
+          recurse(below, tryY = true, tryX = true)
+        case None =>
+          val xGap = if (tryX) widestGap(idx.map(i => (boxes(i).x0, boxes(i).x1))) else None
+          xGap match {
+            case Some(cut) =>
+              val (left, right) = idx.partition(i => boxes(i).x1 <= cut)
+              recurse(left, tryY = true, tryX = true)
+              recurse(right, tryY = true, tryX = true)
+            case None =>
+              idx.foreach(out(_) = next); next += 1
+          }
+      }
+    }
+    recurse(boxes.indices, tryY = true, tryX = true)
+    out.toIndexedSeq
+  }
+
   /** Synthetic single-column boxes for DOM blocks: block k is a
     * full-width row at height k (span order = vertical order).
     */

@@ -68,3 +68,40 @@ class LangStatsSpec extends AnyFunSuite {
     assert(LangStats.predominantFont(Seq.empty, Seq(None)) == "Antiqua")
   }
 }
+
+class XYCutSpec extends AnyFunSuite {
+  test("two columns separated by a wide gap cut into two regions, left first") {
+    val boxes = IndexedSeq(
+      Box(0, 1, 60, 100), Box(2, 3, 60, 100), // right column
+      Box(0, 1, 0, 40), Box(2, 3, 0, 40)) // left column
+    val r = ReadingOrder.xyCut(boxes, minGap = 5)
+    // left column = region 0, right = region 1
+    assert(r == IndexedSeq(1, 1, 0, 0), s"got $r")
+  }
+
+  test("horizontal band gap cuts before vertical (top section first)") {
+    val boxes = IndexedSeq(
+      Box(0, 1, 0, 100), // header band
+      Box(10, 11, 0, 40), Box(10, 11, 60, 100)) // two columns below
+    val r = ReadingOrder.xyCut(boxes, minGap = 5)
+    assert(r(0) == 0) // header is its own region, first
+    assert(r(1) == 1 && r(2) == 2) // columns split left-to-right below
+  }
+
+  test("no gaps -> one region") {
+    val boxes = IndexedSeq(Box(0, 2, 0, 50), Box(1, 3, 40, 100))
+    assert(ReadingOrder.xyCut(boxes, minGap = 5).distinct == IndexedSeq(0))
+  }
+
+  test("recursion terminates on nested structure and numbers reading order") {
+    // 2x2 grid with wide gaps both ways
+    val boxes = IndexedSeq(
+      Box(20, 21, 60, 100), // bottom-right
+      Box(0, 1, 0, 40), // top-left
+      Box(20, 21, 0, 40), // bottom-left
+      Box(0, 1, 60, 100)) // top-right
+    val r = ReadingOrder.xyCut(boxes, minGap = 5)
+    // horizontal cut first: top {TL=0, TR=1}, bottom {BL=2, BR=3}
+    assert(r == IndexedSeq(3, 0, 2, 1), s"got $r")
+  }
+}

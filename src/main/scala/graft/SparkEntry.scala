@@ -59,7 +59,10 @@ object SparkEntry {
       t(s, dir, "lineitem")
         .rollup(col("l_returnflag"), col("l_linestatus"))
         .agg(
-          sum(col("l_quantity").cast("decimal(18,2)")).cast("decimal(18,2)").as("sum_qty"),
+          // integer-cents sum: exact + associative, so the result is
+          // independent of partial-agg order AND hashes identically to the
+          // DuckDB oracle (DECIMAL outputs hash-mismatch on physical encoding)
+          sum(round(col("l_quantity") * 100).cast("long")).as("sum_qty_cents"),
           count(lit(1)).as("cnt"))
         .orderBy(col("l_returnflag").asc_nulls_first, col("l_linestatus").asc_nulls_first)
     }),
@@ -70,7 +73,7 @@ object SparkEntry {
       t(s, dir, "lineitem")
         .cube(col("l_returnflag"), col("l_linestatus"))
         .agg(count(lit(1)).as("cnt"),
-          sum(col("l_quantity").cast("decimal(18,2)")).cast("decimal(18,2)").as("sum_qty"))
+          sum(round(col("l_quantity") * 100).cast("long")).as("sum_qty_cents"))
         .orderBy(col("l_returnflag").asc_nulls_first, col("l_linestatus").asc_nulls_first)
     }),
 
@@ -122,7 +125,7 @@ object SparkEntry {
         .join(r, n("n_regionkey") === r("r_regionkey"))
         .groupBy(col("r_name"), col("n_name"))
         .agg(count(lit(1)).as("cnt"),
-          sum(col("c_acctbal").cast("decimal(18,2)")).cast("decimal(18,2)").as("acctbal_sum"))
+          sum(round(col("c_acctbal") * 100).cast("long")).as("acctbal_cents"))
         .orderBy(col("r_name"), col("n_name"))
     }),
 
@@ -312,18 +315,24 @@ object SparkEntry {
     // ---- training-data ops: deduplication ----
 
     // exact dedup on the word MULTISET (hash-groupBy). Fingerprint is a
-    // commutative multiset hash — sum over tokens of (md5-prefix mod p) —
-    // order-independent and O(n) row-local, replacing the per-doc
-    // array_sort of the full text (the round-1 hot spot). At petabyte
-    // scale swap in a 128-bit multiset hash to make collisions negligible.
+    // commutative multiset hash over TWO independent lanes: lane i sums
+    // 48-bit md5 slices (chars 1-12 / 13-24) mod a distinct ~2^61/2^60
+    // prime, reducing mod p at every addition step (a < p, x < 2^48, so
+    // a + x never overflows int64). Modular addition is commutative and
+    // map-side combinable; the pair key lives in a ~2^121 space, so at
+    // 10^12 docs the birthday collision mass is ~10^24 * 2^-121 ~= 4e-13
+    // — negligible false-merge probability (the round-2 guard was a
+    // single ~2^30 lane, which the pigeonhole breaks at that scale).
     "q15_dedup_exact" -> ((s, dir) => {
+      def lane(from: Int, p: String) =
+        s"""aggregate(
+           |  transform(split(text, ' '),
+           |    t -> cast(conv(substring(md5(to_binary(t, 'utf-8')), $from, 12), 16, 10) as bigint)),
+           |  cast(0 as bigint), (a, x) -> pmod(a + x, ${p}L))""".stripMargin
       t(s, dir, "documents")
-        .withColumn("fp", expr(
-          """aggregate(
-            |  transform(split(text, ' '),
-            |    t -> pmod(cast(conv(substring(md5(to_binary(t, 'utf-8')), 1, 12), 16, 10) as bigint), 1000000007)),
-            |  cast(0 as bigint), (a, x) -> a + x)""".stripMargin))
-        .groupBy(col("fp"))
+        .withColumn("fp1", expr(lane(1, "2305843009213693951")))
+        .withColumn("fp2", expr(lane(13, "1152921504606846883")))
+        .groupBy(col("fp1"), col("fp2"))
         .agg(min(col("doc_id")).as("keeper"), count(lit(1)).as("n_dups"))
         .filter(col("n_dups") >= 1)
         .groupBy(col("n_dups")).agg(count(lit(1)).as("n_groups"))
@@ -377,10 +386,19 @@ object SparkEntry {
       def h(j: Int) = min(md5s(concat(lit(j + ":"), col("sh")))).as(s"h$j")
       val sig = shingles.groupBy(col("doc_id"))
         .agg(h(0), h(1), h(2), h(3), h(4), h(5), h(6), h(7))
-      val banded = sig.select(col("doc_id"), posexplode(array(
+      val banded0 = sig.select(col("doc_id"), posexplode(array(
         md5s(concat(col("h0"), col("h1"))), md5s(concat(col("h2"), col("h3"))),
         md5s(concat(col("h4"), col("h5"))), md5s(concat(col("h6"), col("h7")))
       ))).toDF("doc_id", "band", "key")
+      // hot-band df guard (mirrored in the oracle), same skew guard as
+      // q44: a band key shared by a large fraction of a boilerplate-heavy
+      // corpus would emit O(df^2) join rows — quadratic at web scale. The
+      // windowed count shares the (band, key) shuffle the self-join needs
+      // anyway, so signatures are computed exactly once. Pairs dropped in
+      // a hot band can still collide in one of the other 3 bands.
+      val wDf = Window.partitionBy(col("band"), col("key"))
+      val banded = banded0.withColumn("df", count(lit(1)).over(wDf))
+        .filter(col("df") <= 128).drop("df")
       val a = banded.select(col("band"), col("key"), col("doc_id").as("id1"))
       val b = banded.select(col("band"), col("key"), col("doc_id").as("id2"))
       a.join(b, Seq("band", "key")).filter(col("id1") < col("id2"))
@@ -644,7 +662,7 @@ object SparkEntry {
       graft.operators.Skew.saltedJoin(li, p, "l_partkey", "p_partkey", col("l_partkey"), 8)
         .groupBy(col("p_brand"))
         .agg(count(lit(1)).as("cnt"),
-          sum(col("l_quantity").cast("decimal(18,2)")).cast("decimal(18,2)").as("sum_qty"))
+          sum(round(col("l_quantity") * 100).cast("long")).as("sum_qty_cents"))
         .orderBy(col("p_brand"))
     }),
 
@@ -870,12 +888,12 @@ object SparkEntry {
         |FROM documents GROUP BY lang ORDER BY lang""".stripMargin,
     "q05_rollup" ->
       """SELECT l_returnflag, l_linestatus,
-        |  CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS sum_qty, count(*) AS cnt
+        |  CAST(sum(CAST(round(l_quantity * 100) AS BIGINT)) AS BIGINT) AS sum_qty_cents, count(*) AS cnt
         |FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
         |ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""".stripMargin,
     "q41_cube" ->
       """SELECT l_returnflag, l_linestatus, count(*) AS cnt,
-        |  CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS sum_qty
+        |  CAST(sum(CAST(round(l_quantity * 100) AS BIGINT)) AS BIGINT) AS sum_qty_cents
         |FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)
         |ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""".stripMargin,
     "q06_mode_lang" ->
@@ -897,7 +915,7 @@ object SparkEntry {
         |FROM part GROUP BY first_char ORDER BY first_char""".stripMargin,
     "q03_star_join" ->
       """SELECT r_name, n_name, count(*) AS cnt,
-        |  CAST(sum(CAST(c_acctbal AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS acctbal_sum
+        |  CAST(sum(CAST(round(c_acctbal * 100) AS BIGINT)) AS BIGINT) AS acctbal_cents
         |FROM customer
         |JOIN nation ON c_nationkey = n_nationkey
         |JOIN region ON n_regionkey = r_regionkey
@@ -981,10 +999,15 @@ object SparkEntry {
         |FROM documents ORDER BY doc_id""".stripMargin,
     "q15_dedup_exact" ->
       """WITH fps AS (
-        |  SELECT list_sum(list_transform(string_split(text, ' '),
-        |      t -> ('0x' || substring(md5(t), 1, 12))::BIGINT % 1000000007)) AS fp,
+        |  SELECT
+        |    list_reduce(list_transform(string_split(text, ' '),
+        |      t -> ('0x' || substring(md5(t), 1, 12))::BIGINT),
+        |      (a, x) -> (a + x) % 2305843009213693951) AS fp1,
+        |    list_reduce(list_transform(string_split(text, ' '),
+        |      t -> ('0x' || substring(md5(t), 13, 12))::BIGINT),
+        |      (a, x) -> (a + x) % 1152921504606846883) AS fp2,
         |    min(doc_id) AS keeper, count(*) AS n_dups
-        |  FROM documents GROUP BY fp)
+        |  FROM documents GROUP BY fp1, fp2)
         |SELECT n_dups, count(*) AS n_groups FROM fps GROUP BY n_dups ORDER BY n_dups""".stripMargin,
     "q18_minhash_lsh" ->
       """WITH shingles AS (
@@ -999,11 +1022,16 @@ object SparkEntry {
         |    min(md5('4:' || sh)) AS h4, min(md5('5:' || sh)) AS h5,
         |    min(md5('6:' || sh)) AS h6, min(md5('7:' || sh)) AS h7
         |  FROM shingles GROUP BY doc_id),
-        |banded AS (
+        |banded0 AS (
         |  SELECT doc_id, 0 AS band, md5(h0 || h1) AS key FROM sig
         |  UNION ALL SELECT doc_id, 1, md5(h2 || h3) FROM sig
         |  UNION ALL SELECT doc_id, 2, md5(h4 || h5) FROM sig
-        |  UNION ALL SELECT doc_id, 3, md5(h6 || h7) FROM sig)
+        |  UNION ALL SELECT doc_id, 3, md5(h6 || h7) FROM sig),
+        |banded AS (
+        |  SELECT doc_id, band, key FROM (
+        |    SELECT doc_id, band, key,
+        |      count(*) OVER (PARTITION BY band, key) AS df
+        |    FROM banded0) WHERE df <= 128)
         |SELECT DISTINCT a.doc_id AS id1, b.doc_id AS id2
         |FROM banded a JOIN banded b
         |  ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id
@@ -1149,7 +1177,7 @@ object SparkEntry {
         |FROM documents GROUP BY source ORDER BY source""".stripMargin,
     "q38_salted_join" ->
       """SELECT p_brand, count(*) AS cnt,
-        |  CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS sum_qty
+        |  CAST(sum(CAST(round(l_quantity * 100) AS BIGINT)) AS BIGINT) AS sum_qty_cents
         |FROM lineitem JOIN part ON l_partkey = p_partkey
         |GROUP BY p_brand ORDER BY p_brand""".stripMargin,
     "q35_json_extract" ->

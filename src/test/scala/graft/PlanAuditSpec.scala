@@ -43,6 +43,24 @@ class PlanAuditSpec extends AnyFunSuite {
     val p = plan(q(spark, sf))
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
       s"LSH band join degenerated to a product join:\n$p")
+    // hot-band df guard must appear as a windowed-count filter
+    assert(p.contains("128"), s"hot-band df guard missing from plan:\n$p")
+  }
+
+  test("minhash LSH guard does not recompute the signature stage at shuffle scale") {
+    // at broadcast scale AQE legitimately recomputes the (tiny) build side;
+    // the 100x property is that when both band-join branches shuffle, the
+    // identical Exchange(band, key) subtree — shingle explode + 8 min-aggs
+    // + window guard — is computed ONCE and the second branch reuses it.
+    val old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val df = SparkEntry.queries("q18_minhash_lsh")(spark, sf)
+      df.collect() // AQE finalizes exchange reuse on execution
+      val p = df.queryExecution.executedPlan.toString
+      assert(p.contains("ReusedExchange"),
+        s"second band-join branch recomputes the signature stage:\n$p")
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
   }
 
   test("pipeline and scan queries run inside whole-stage codegen") {

@@ -29,9 +29,12 @@ object Train {
     * standardization; returns weights in RAW feature space.
     */
   def fitLogistic(xs: Array[Array[Double]], ys: Array[Double],
-      epochs: Int = 4000, lr: Double = 0.5, l2: Double = 1e-6): Fit = {
+      epochs: Int = 4000, lr: Double = 0.5, l2: Double = 1e-6,
+      weights: Array[Double] = null): Fit = {
     val n = xs.length
     require(n > 0, "no training examples")
+    val wt = if (weights == null) Array.fill(n)(1.0) else weights
+    val wSum = wt.sum
     val d = xs(0).length
     // standardize
     val mean = new Array[Double](d); val std = new Array[Double](d)
@@ -57,15 +60,15 @@ object Train {
       while (i < n) {
         var s = b; var k = 0
         while (k < d) { s += w(k) * z(i)(k); k += 1 }
-        val err = 1.0 / (1.0 + math.exp(-s)) - ys(i)
+        val err = wt(i) * (1.0 / (1.0 + math.exp(-s)) - ys(i))
         k = 0
         while (k < d) { gw(k) += err * z(i)(k); k += 1 }
         gb += err
         i += 1
       }
       var k = 0
-      while (k < d) { w(k) -= lr * (gw(k) / n + l2 * w(k)); k += 1 }
-      b -= lr * gb / n
+      while (k < d) { w(k) -= lr * (gw(k) / wSum + l2 * w(k)); k += 1 }
+      b -= lr * gb / wSum
       e += 1
     }
     // unfold standardization: s = b + sum w_k (x_k - mean_k)/std_k
@@ -144,22 +147,24 @@ object Train {
     val le = fitLogistic(leX.toArray, leY.toArray)
 
     // ---- DM: features read the TRAINED RR scores (reference order).
-    // Only LE-REJECTED tokens are DM examples — at inference the LE gate
-    // runs first, so tokens it protects never reach the DM; training the
-    // DM on them teaches it to veto legitimate corrections that share
-    // surface features with entities (capitalized line starts). ----
+    // Examples come from ALL OOV tokens whose top-ranked candidate differs
+    // from the token — NOT just LE-rejected ones. Restricting to the
+    // LE-rejected set (as round 2 did) starves the fit of negatives: on
+    // this corpus nearly every LE-rejected top candidate IS the truth, so
+    // the logistic collapsed to a constant-accept (weights ~1e-13, bias
+    // 7.6) and the DM veto was dead code. LE-accepted tokens are valid
+    // words the ranker would still "correct" — exactly the wrong-top-
+    // candidate negatives the DM must learn to veto on realistic data. ----
     def rrScore(t: Corrector.TokenCtx, c: Candidate, lex: Lexicon): Double =
       Corrector.sigmoid(Corrector.dot(Corrector.rrFeatures(t, c, lex), rr.w, rr.bias))
     def leAccepts(t: Corrector.TokenCtx, cands: Seq[Candidate], lex: Lexicon): Boolean =
       Corrector.sigmoid(Corrector.dot(Corrector.leFeatures(t, cands, lex), le.w, le.bias)) > 0.5
     val dmX = scala.collection.mutable.ArrayBuffer[Array[Double]]()
     val dmY = scala.collection.mutable.ArrayBuffer[Double]()
+    val dmLe = scala.collection.mutable.ArrayBuffer[Double]()
     exs.foreach { ex =>
       val lex = lexs(ex.lang)
-      if (!lex.contains(ex.ctx.token) && {
-        val cands = Profiler.candidates(ex.ctx.token, lex)
-        !leAccepts(ex.ctx, cands, lex)
-      }) {
+      if (!lex.contains(ex.ctx.token)) {
         val cands = Profiler.candidates(ex.ctx.token, lex)
         val ranked = cands.map(c => (c, rrScore(ex.ctx, c, lex)))
           .sortBy { case (c, s) => (-s, c.suggestion) }
@@ -168,12 +173,50 @@ object Train {
           dmX += Corrector.dmFeatures(ranked)
           dmY += (if (ranked.head.candidate.suggestion == ex.truth &&
             ex.ctx.token != ex.truth) 1.0 else 0.0)
+          dmLe += (if (leAccepts(ex.ctx, cands, lex)) 1.0 else 0.0)
         }
       }
     }
-    val dm = fitLogistic(dmX.toArray, dmY.toArray)
+    require(dmY.contains(0.0) && dmY.contains(1.0),
+      s"degenerate DM training set: ${dmY.count(_ == 1.0)} positives / " +
+        s"${dmY.length} examples — a one-class fit collapses to a constant " +
+        "and the decision-maker veto becomes dead code")
+    sys.env.get("GRAFT_TRAIN_DUMP").foreach { p =>
+      val sb = new StringBuilder
+      dmX.indices.foreach { i =>
+        sb.append(dmX(i).mkString("\t")).append('\t').append(dmY(i))
+          .append('\t').append(dmLe(i)).append('\n')
+      }
+      java.nio.file.Files.writeString(java.nio.file.Paths.get(p), sb.toString)
+    }
+    // positives are upweighted (a false VETO silently re-breaks a token the
+    // ranker had fixed — the worst failure mode), then the bias is
+    // calibrated so the weakest training positive scores 0.70: every true
+    // correction clears the 0.5 veto threshold with logit-space headroom
+    // for held-out tokens, while the negatives the boundary already
+    // separates stay vetoed. The classes are NOT linearly separable in the
+    // 3 DM features (verified by perceptron), so without the calibration
+    // any usable fit trades false vetoes against dead-code constancy.
+    def logit(p: Double): Double = math.log(p / (1.0 - p))
+    val dmW = dmY.map(y => if (y == 1.0) 8.0 else 1.0).toArray
+    val dm0 = fitLogistic(dmX.toArray, dmY.toArray, weights = dmW)
+    val posMin = dmX.indices.filter(dmY(_) == 1.0)
+      .map(i => Corrector.sigmoid(Corrector.dot(dmX(i), dm0.w, dm0.bias))).min
+    val dm = dm0.copy(bias = dm0.bias + (logit(0.70) - logit(posMin)))
+    // the calibrated head must be loss-free on true corrections AND still
+    // discriminate: a constant fit means the veto never (or always) fires
+    val dmScores = dmX.map(x => Corrector.sigmoid(Corrector.dot(x, dm.w, dm.bias)))
+    val falseVetoes = dmX.indices.count(i =>
+      dmY(i) == 1.0 && dmScores(i) <= Corrector.dmThreshold)
+    require(falseVetoes == 0, s"$falseVetoes true corrections vetoed after calibration")
+    val liveVetoes = dmX.indices.count(i =>
+      dmY(i) == 0.0 && dmScores(i) <= Corrector.dmThreshold)
+    require(liveVetoes > 0,
+      s"DM predictions are constant-accept (min=${dmScores.min}) — the veto is dead code")
 
-    println(s"[train] rr=${rrX.length} examples, le=${leX.length}, dm=${dmX.length}")
+    println(s"[train] rr=${rrX.length} examples, le=${leX.length}, " +
+      s"dm=${dmX.length} (${dmY.count(_ == 1.0)} pos / ${dmY.count(_ == 0.0)} neg, " +
+      s"$liveVetoes live vetoes, 0 false vetoes after calibration)")
     TrainedModel(rr.w, rr.bias, dm.w, dm.bias, le.w, le.bias)
   }
 

@@ -145,35 +145,47 @@ object Checkpoint {
       // per-bucket stats from inside the write job: rows per bucket and
       // task wall attributed to each bucket proportionally by row count.
       // Stats carry (partitionId, attempt) because accumulators in
-      // TRANSFORMATIONS are not retry-exactly-once: a retried or
-      // speculative task adds its tuples again, so the driver keeps only
-      // each partition's highest attempt (the one whose write committed).
+      // TRANSFORMATIONS are not retry-exactly-once: a retried task adds
+      // its tuples again. Only SUCCESSFUL attempts emit (a failed or
+      // speculatively-killed task's completion listener still fires, and
+      // its PARTIAL counts must not displace a committed attempt's), and
+      // the driver then keeps one attempt per partition — any successful
+      // attempt saw the full partition, so their counts are identical.
       val statsAcc = spark.sparkContext
         .collectionAccumulator[(Int, Int, Int, Long, Long)](s"graft.ledger.$stage")
-      val migratedAcc = spark.sparkContext
-        .collectionAccumulator[(Int, Int, Long)](s"graft.migrated.$stage")
       val todoSet = todo.toSet
       val bIdx = transformed.schema.fieldIndex("p_bucket")
       val enc = Encoders.row(transformed.schema)
+      val stageName = stage; val keyName = keyCol
       val tracked = transformed.mapPartitions { it =>
         val t0 = System.currentTimeMillis()
         val counts = scala.collection.mutable.HashMap.empty[Int, Long]
-        var migrated = 0L
         val tc = Option(TaskContext.get())
         val pid = tc.map(_.partitionId()).getOrElse(0)
         val att = tc.map(_.attemptNumber()).getOrElse(0)
-        tc.foreach(_.addTaskCompletionListener[Unit] { _ =>
-          val wall = System.currentTimeMillis() - t0
-          val total = counts.values.sum.max(1L)
-          counts.foreach { case (b, n) =>
-            statsAcc.add((pid, att, b, n, math.max(1L, wall * n / total)))
+        tc.foreach(_.addTaskCompletionListener[Unit] { ctx =>
+          if (!ctx.isFailed() && !ctx.isInterrupted()) {
+            val wall = System.currentTimeMillis() - t0
+            val total = counts.values.sum.max(1L)
+            counts.foreach { case (b, n) =>
+              statsAcc.add((pid, att, b, n, math.max(1L, wall * n / total)))
+            }
           }
-          migratedAcc.add((pid, att, migrated))
         })
         it.map { r =>
           val b = r.getInt(bIdx)
-          if (todoSet.contains(b)) counts(b) = counts.getOrElse(b, 0L) + 1L
-          else migrated += 1L
+          // key-stability contract check IN the write tasks: a row whose
+          // recomputed bucket left the pending set means the transform
+          // rewrote the key column, and writing it would dynamically
+          // overwrite an already-committed bucket's partition. Failing the
+          // task here aborts the job BEFORE the output commit, so
+          // committed buckets stay intact (a post-write driver check would
+          // detect the clobbering only after it happened).
+          if (!todoSet.contains(b))
+            throw new IllegalStateException(
+              s"stage '$stageName': row bucket $b is outside the pending " +
+                s"set — the transform rewrote '$keyName' values")
+          counts(b) = counts.getOrElse(b, 0L) + 1L
           r
         }
       }(enc)
@@ -184,24 +196,11 @@ object Checkpoint {
         .partitionBy("p_bucket")
         .parquet(out)
 
-      // keep only each partition's final attempt
+      // keep one (the last) successful attempt per partition
       val lastAttempt = new scala.collection.mutable.HashMap[Int, Int]()
       statsAcc.value.forEach { case (pid, att, _, _, _) =>
         if (att > lastAttempt.getOrElse(pid, -1)) lastAttempt(pid) = att
       }
-      migratedAcc.value.forEach { case (pid, att, _) =>
-        if (att > lastAttempt.getOrElse(pid, -1)) lastAttempt(pid) = att
-      }
-
-      // key-stability contract check BEFORE any ledger commit: migrated
-      // rows mean f rewrote keyCol; their buckets were (wrongly) rewritten
-      var migratedRows = 0L
-      migratedAcc.value.forEach { case (pid, att, m) =>
-        if (att == lastAttempt.getOrElse(pid, 0)) migratedRows += m
-      }
-      require(migratedRows == 0L,
-        s"stage '$stage': $migratedRows rows migrated outside the " +
-          s"pending bucket set — the transform rewrote '$keyCol' values")
 
       val stats = new scala.collection.mutable.HashMap[Int, (Long, Long)]()
       statsAcc.value.forEach { case (pid, att, b, n, w) =>

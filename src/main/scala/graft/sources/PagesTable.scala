@@ -40,8 +40,11 @@ object PagesTable {
     // manifest row count from the SAME job as the write (accumulator) —
     // re-reading the table just to count paid a second full scan. Tuples
     // carry (partitionId, attempt): transformation-side accumulators are
-    // not retry-exactly-once, so only each partition's final attempt
-    // counts (same protocol as Checkpoint's ledger stats).
+    // not retry-exactly-once, so only SUCCESSFUL attempts emit (a failed
+    // or speculatively-killed task's completion listener still fires with
+    // a PARTIAL count that must not displace a committed attempt's), and
+    // the driver keeps one attempt per partition (same protocol as
+    // Checkpoint's ledger stats).
     val rowsAcc = spark.sparkContext
       .collectionAccumulator[(Int, Int, Long)]("pagesTableRows")
     val counted = df.mapPartitions { it =>
@@ -49,7 +52,9 @@ object PagesTable {
       val pid = tc.map(_.partitionId()).getOrElse(0)
       val att = tc.map(_.attemptNumber()).getOrElse(0)
       var n = 0L
-      tc.foreach(_.addTaskCompletionListener[Unit](_ => rowsAcc.add((pid, att, n))))
+      tc.foreach(_.addTaskCompletionListener[Unit] { ctx =>
+        if (!ctx.isFailed() && !ctx.isInterrupted()) rowsAcc.add((pid, att, n))
+      })
       it.map { r => n += 1L; r }
     }(Encoders.row(df.schema))
     counted.write.mode(SaveMode.Overwrite)

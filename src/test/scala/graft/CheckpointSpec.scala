@@ -107,12 +107,17 @@ class CheckpointSpec extends AnyFunSuite {
     rmTree(Paths.get(root))
   }
 
-  test("resume with a key-rewriting transform fails loudly before any ledger commit") {
+  test("resume with a key-rewriting transform aborts before the write commit") {
     // key rewrites only become dangerous on RESUME: migrated rows would
     // silently clobber already-committed buckets (the ADVICE.md finding).
     // On a first full run every bucket is pending, so nothing can migrate.
+    // The violation must fail IN the write tasks, aborting the job before
+    // the dynamic-overwrite commit — a post-write driver check would
+    // detect the clobbering only after committed buckets were replaced.
     val root = tmpRoot()
     Checkpoint.runStage(spark, "bad", root, input(), "url", 8)(identity)
+    val before = spark.read.parquet(s"$root/bad/data")
+      .filter(!col("p_bucket").isin(0, 1)).count()
     (0 to 1).foreach { b =>
       Files.delete(Paths.get(f"$root/bad/_ledger/bucket-$b%05d.json"))
     }
@@ -120,9 +125,16 @@ class CheckpointSpec extends AnyFunSuite {
       Checkpoint.runStage(spark, "bad", root, input(), "url", 8)(
         df => df.withColumn("url", concat(col("url"), lit("-rewritten"))))
     }
-    assert(e.getMessage.contains("migrated"), e.getMessage)
-    // the lost buckets were NOT ledger-committed by the failed resume
+    assert(e.getMessage.contains("outside the pending"), e.getMessage)
+    // the lost buckets were NOT ledger-committed by the failed resume...
     assert(Checkpoint.readLedger(spark, root, "bad").size == 6)
+    // ...and the committed buckets' DATA is intact: the aborted job never
+    // reached its output commit, so no partition was overwritten
+    val after = spark.read.parquet(s"$root/bad/data")
+      .filter(!col("p_bucket").isin(0, 1))
+    assert(after.count() == before)
+    assert(after.filter(col("url").contains("-rewritten")).count() == 0L,
+      "aborted resume leaked rewritten rows into committed buckets")
     rmTree(Paths.get(root))
   }
 

@@ -166,6 +166,15 @@ object SparkEntry {
         .orderBy(col("user_id"))
     }),
 
+    // EvalDLE/EvalRRDM analog (aio/aio.py:17-19,514-537): per-head
+    // outcome counts over the held-out pages [300, 500), every token
+    // replayed through the production decision chain
+    // (Corrector.classifyToken) and scored against the positional golden
+    // token. The oracle derives the report from generator corpus facts
+    // (fixtures/Expected headeval.parquet).
+    "q47_head_eval" -> ((s, _) =>
+      graft.pipeline.Pipeline.headEval(s, 300L, 200L)),
+
     // ---- §2.5 window / ranking / top-k ----
 
     // select_regions top-k (morph.py:309-330)
@@ -932,6 +941,30 @@ object SparkEntry {
         |WHERE e1.event_id < e2.event_id
         |  AND abs(epoch_us(e1.ts) - epoch_us(e2.ts)) <= 3600000000
         |GROUP BY e1.user_id ORDER BY e1.user_id""".stripMargin,
+    // generator corpus facts: tokens_total / corrupted are direct sums;
+    // accepted_right == corrupted because every injected corruption is
+    // correctable by construction; every failure counter is the computed
+    // token-level residue between the expected corrected text and golden
+    // (zero exactly, because the expectation is byte identity)
+    "q47_head_eval" ->
+      """WITH agg AS (
+        |  SELECT CAST(sum(n_tokens) AS BIGINT) AS toks,
+        |    CAST(sum(n_corrections) AS BIGINT) AS corr,
+        |    CAST(sum(len(list_filter(
+        |      list_zip(string_split_regex(expected_corrected, '[ ' || chr(10) || ']'),
+        |               string_split_regex(golden, '[ ' || chr(10) || ']')),
+        |      p -> p[1] <> p[2]))) AS BIGINT) AS resid
+        |  FROM read_parquet('/tmp/graft_expected/headeval.parquet/*.parquet'))
+        |SELECT head, metric, n FROM (
+        |  SELECT 'corrector' AS head, 'corrupted' AS metric, corr AS n FROM agg
+        |  UNION ALL SELECT 'corrector', 'false_corrections', resid FROM agg
+        |  UNION ALL SELECT 'corrector', 'missed', resid FROM agg
+        |  UNION ALL SELECT 'corrector', 'tokens_total', toks FROM agg
+        |  UNION ALL SELECT 'dle', 'false_extensions', resid FROM agg
+        |  UNION ALL SELECT 'rrdm', 'accepted_right', corr FROM agg
+        |  UNION ALL SELECT 'rrdm', 'accepted_wrong', resid FROM agg
+        |  UNION ALL SELECT 'rrdm', 'false_vetoes', resid FROM agg)
+        |ORDER BY head, metric""".stripMargin,
     "q04_topk_orders" ->
       """SELECT o_custkey, o_orderkey, rn FROM (
         |  SELECT o_custkey, o_orderkey,

@@ -369,6 +369,47 @@ object Corrector {
       raw = core, glyphConfs = glyphConfs.slice(start, stop), lineOverlap = lineOverlap))
   }
 
+  /** Per-token decision classification — the EvalDLE/EvalRRDM substrate
+    * (aio/aio.py:17-19,514-537 run per-model eval tools over the profiled
+    * files; here the same per-head outcome counts come from replaying the
+    * decision chain). Returns (appliedToken, outcome) with outcome one of
+    * non_alnum | in_lexicon | le_extended | no_candidate | dm_vetoed |
+    * dm_accepted. [[correctToken]] delegates here, so the classification
+    * IS the production control flow, never a parallel reimplementation.
+    */
+  def classifyToken(raw: String, ctx: Seq[String], wordConf: Double,
+      glyphConfs: Seq[Double], linePos: Double, lineOverlap: Double,
+      lex: Lexicon, runLE: Boolean): (String, String) = {
+    contextOf(raw, ctx, wordConf, glyphConfs, linePos, lineOverlap) match {
+      case None => (raw, "non_alnum")
+      case Some(t) =>
+        // in-lexicon tokens are never corrected (decide's first guard) and
+        // never need LE — skip candidate generation entirely. This is the
+        // hot path: ~85% of tokens are clean lexicon words, and the
+        // SymSpell neighborhood walk is the most expensive per-token step.
+        if (lex.contains(t.token)) return (raw, "in_lexicon")
+        val cands = Profiler.candidates(t.token, lex)
+        // LE gate: an OOV token the LE model accepts is a valid word —
+        // extend the (document-local) lexicon instead of correcting
+        if (runLE && leScore(t, cands, lex) > 0.5)
+          return (raw, "le_extended")
+        val ranked = rank(t, cands, lex)
+        if (ranked.isEmpty || ranked.head.candidate.suggestion == t.token)
+          return (raw, "no_candidate")
+        decide(t, ranked, lex) match {
+          case Some(sug) =>
+            val cased =
+              if (t.raw.nonEmpty && t.raw.head.isUpper && sug.nonEmpty)
+                sug.head.toUpper + sug.tail
+              else sug
+            val start = raw.indexWhere(_.isLetterOrDigit)
+            val stop = raw.lastIndexWhere(_.isLetterOrDigit) + 1
+            (raw.substring(0, start) + cased + raw.substring(stop), "dm_accepted")
+          case None => (raw, "dm_vetoed")
+        }
+    }
+  }
+
   /** Correct one token preserving its punctuation shell and leading-case:
     * split off non-letter prefix/suffix, correct the case-folded core
     * (unless the LE model accepted it into the dynamic lexicon), then
@@ -377,31 +418,9 @@ object Corrector {
   def correctToken(raw: String, ctx: Seq[String], wordConf: Double,
       glyphConfs: Seq[Double], linePos: Double, lineOverlap: Double,
       lex: Lexicon, runLE: Boolean): (String, Boolean) = {
-    contextOf(raw, ctx, wordConf, glyphConfs, linePos, lineOverlap) match {
-      case None => (raw, false)
-      case Some(t) =>
-        // in-lexicon tokens are never corrected (decide's first guard) and
-        // never need LE — skip candidate generation entirely. This is the
-        // hot path: ~85% of tokens are clean lexicon words, and the
-        // SymSpell neighborhood walk is the most expensive per-token step.
-        if (lex.contains(t.token)) return (raw, false)
-        val cands = Profiler.candidates(t.token, lex)
-        // LE gate: an OOV token the LE model accepts is a valid word —
-        // extend the (document-local) lexicon instead of correcting
-        if (runLE && !lex.contains(t.token) && leScore(t, cands, lex) > 0.5)
-          return (raw, false)
-        decide(t, rank(t, cands, lex), lex) match {
-          case Some(sug) =>
-            val cased =
-              if (t.raw.nonEmpty && t.raw.head.isUpper && sug.nonEmpty)
-                sug.head.toUpper + sug.tail
-              else sug
-            val start = raw.indexWhere(_.isLetterOrDigit)
-            val stop = raw.lastIndexWhere(_.isLetterOrDigit) + 1
-            (raw.substring(0, start) + cased + raw.substring(stop), true)
-          case None => (raw, false)
-        }
-    }
+    val (applied, outcome) =
+      classifyToken(raw, ctx, wordConf, glyphConfs, linePos, lineOverlap, lex, runLE)
+    (applied, outcome == "dm_accepted")
   }
 
   /** Legacy single-conf entry point (tests / simple callers). */

@@ -284,5 +284,24 @@ object Expected {
     counts.toSeq.map { case ((l, r), c) => (l, r, c) }
       .toDF("pat_left", "pat_right", "cnt")
       .coalesce(1).write.mode("overwrite").parquet(s"$dir/confusions.parquet")
+
+    // expected head-eval corpus facts (q47) over the HELD-OUT pages
+    // [300, 500) — the range Train validates on, disjoint from its
+    // 300-page training slice. Per page: golden text, the expected
+    // corrected text (== golden: every injected corruption is correctable
+    // by construction, see corrected.parquet above), the injected
+    // corruption count, and the whitespace token count. The oracle derives
+    // the full per-head report from these: tokens_total = sum(n_tokens),
+    // corrupted = accepted_right = sum(n_corrections), and every failure
+    // counter (missed / false_corrections / false_extensions /
+    // accepted_wrong / false_vetoes) equals the token-level mismatch count
+    // between expected_corrected and golden — computed, and zero exactly
+    // because byte-identity leaves no token-level residue.
+    (300L until 500L).map { i =>
+      val tp = PagesGen.page(i)
+      val nTokens = tp.trueText.split("\n").map(_.split(" ", -1).length.toLong).sum
+      (tp.row.url, tp.trueText, tp.trueText, nCorrectionsOf(i), nTokens)
+    }.toDF("url", "golden", "expected_corrected", "n_corrections", "n_tokens")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/headeval.parquet")
   }
 }

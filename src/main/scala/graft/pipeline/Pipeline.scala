@@ -320,6 +320,76 @@ object Pipeline {
   /** Golden truth for a generated corpus (test/metric side). */
   def goldenText(i: Long, seed: Long = 42L): String = PagesGen.page(i, seed).trueText
 
+  /** EvalDLE/EvalRRDM analog (aio/aio.py:17-19,514-537;
+    * run_training_test.bash:49-63): per-head outcome counts over the
+    * held-out pages [from, from+n), the evaluation report the reference
+    * produces by running its eval tools over profiled files. Every token
+    * is routed through [[graft.core.Corrector.classifyToken]] — the SAME
+    * control flow production correction uses — and its outcome is scored
+    * against the positional golden token:
+    *
+    *  - corrector/tokens_total, corrupted: corpus facts
+    *  - corrector/missed: corrupted tokens no head fixed
+    *  - corrector/false_corrections: clean tokens a head rewrote
+    *  - dle/false_extensions: corrupted tokens the LE head protected
+    *  - rrdm/accepted_right|accepted_wrong: DM-accepted top candidates
+    *    that match / miss the truth
+    *  - rrdm/false_vetoes: corrupted tokens the DM refused to fix
+    *
+    * Distributed: one narrow flatMap over aligned pages, one tiny
+    * groupBy on a 6-value key — the collect is report-sized, not
+    * data-sized.
+    */
+  def headEval(spark: SparkSession, from: Long, n: Long): org.apache.spark.sql.DataFrame = {
+    import spark.implicits._
+    val profile = defaultProfile(spark)
+    val bde = spark.sparkContext.broadcast(lexiconWith("de", profile))
+    val ben = spark.sparkContext.broadcast(lexiconWith("en", profile))
+    val pages = spark.range(from, from + n).map(i => PagesGen.page(i).row)
+    val outcomes = align(segment(pages)).flatMap { ap =>
+      val lex = if (ap.lang == "de") bde.value else ben.value
+      val i = ap.url.substring(ap.url.lastIndexOf('p') + 1).toLong
+      val golden = PagesGen.page(i).trueText.split("\n")
+      ap.lines.zip(golden.toSeq).flatMap { case (line, gLine) =>
+        val master = line.variants.head
+        val tokens = master.text.split(" ", -1).toIndexedSeq
+        val gTokens = gLine.split(" ", -1).toIndexedSeq
+        val lineOverlap = line.variants.drop(1).map { v =>
+          val mx = math.max(master.text.length, v.text.length).max(1)
+          1.0 - Edist.levenshtein(master.text, v.text).toDouble / mx
+        }.maxOption.getOrElse(1.0)
+        val wordByIdx = line.words.zipWithIndex.map { case (w, k) => k -> w }.toMap
+        tokens.zipWithIndex.map { case (tok, k) =>
+          val word = wordByIdx.get(k)
+          val linePos = if (tokens.length <= 1) 0.0 else k.toDouble / (tokens.length - 1)
+          val (applied, outcome) = Corrector.classifyToken(tok,
+            word.map(_.variants.drop(1).map(_.text)).getOrElse(Nil),
+            word.map(_.variants.head.conf).getOrElse(master.conf),
+            word.map(_.glyphConfs).getOrElse(Nil), linePos, lineOverlap,
+            lex, runLE = true)
+          val truth = gTokens.lift(k).getOrElse("")
+          (outcome, tok == truth, applied == truth)
+        }
+      }
+    }.toDF("outcome", "clean", "fixed")
+      .groupBy("outcome", "clean", "fixed").count().collect()
+    def cnt(p: (String, Boolean, Boolean) => Boolean): Long =
+      outcomes.filter(r => p(r.getString(0), r.getBoolean(1), r.getBoolean(2)))
+        .map(_.getLong(3)).sum
+    val rows = Seq(
+      ("corrector", "corrupted", cnt((_, clean, _) => !clean)),
+      ("corrector", "false_corrections",
+        cnt((o, clean, _) => clean && o == "dm_accepted")),
+      ("corrector", "missed", cnt((o, clean, _) => !clean && o != "dm_accepted")),
+      ("corrector", "tokens_total", outcomes.map(_.getLong(3)).sum),
+      ("dle", "false_extensions", cnt((o, clean, _) => o == "le_extended" && !clean)),
+      ("rrdm", "accepted_right", cnt((o, _, fixed) => o == "dm_accepted" && fixed)),
+      ("rrdm", "accepted_wrong", cnt((o, _, fixed) => o == "dm_accepted" && !fixed)),
+      ("rrdm", "false_vetoes", cnt((o, clean, _) => o == "dm_vetoed" && !clean)))
+    spark.createDataFrame(rows).toDF("head", "metric", "n")
+      .orderBy("head", "metric")
+  }
+
   /** The checkpointed pipeline: table-per-stage (the reference's file-group
     * model, SURVEY §1.2) with per-bucket resume ledgers — the north-star
     * execution mode. Each stage commits hash-buckets independently via

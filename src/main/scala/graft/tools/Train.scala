@@ -251,6 +251,11 @@ object Train {
     Corrector.modelOverride = Some(model) // validate with the fresh weights
     val bad = validate(spark, nTrain, nTrain + nVal)
     println(s"[train] validation: ${nVal - bad.length}/$nVal pages byte-identical")
+    // EvalDLE/EvalRRDM-analog report over the same held-out range — the
+    // identical numbers q47_head_eval exposes to the oracle gate
+    Pipeline.headEval(spark, nTrain, nVal).collect().foreach { r =>
+      println(s"[eval] ${r.getString(0)}/${r.getString(1)} = ${r.getLong(2)}")
+    }
     if (bad.nonEmpty) {
       bad.take(5).foreach(u => println(s"[train] MISMATCH $u"))
       sys.exit(1)

@@ -175,6 +175,57 @@ object SparkEntry {
     "q47_head_eval" -> ((s, _) =>
       graft.pipeline.Pipeline.headEval(s, 300L, 200L)),
 
+    // external-recognizer prediction import (div/importer.py:130-203):
+    // parse the real predictions JSON schema (predictions[0].sentence +
+    // per-char positions with chars[0].char/probability and
+    // globalStart/globalEnd) with from_json, then restructure chars into
+    // word/glyph annotations relationally — word index = running count of
+    // spaces (one window that shares the line key), ordered glyph
+    // regrouping via array_sort(collect_list(struct(ci, ...))), word conf
+    // = midrange of char probs, line conf = midrange of word confs, word
+    // bounds = first globalStart .. last globalEnd. The shape matches the
+    // engine's AlignedWord glyph-conf lineage (ConfSurrogate plumbing).
+    // The oracle re-runs the importer's imperative char loop driver-side.
+    "q48_pred_import" -> ((s, _) => {
+      val schemaDDL = "predictions ARRAY<STRUCT<sentence: STRING, " +
+        "positions: ARRAY<STRUCT<chars: ARRAY<STRUCT<char: STRING, " +
+        "probability: DOUBLE>>, globalStart: BIGINT, globalEnd: BIGINT>>>>"
+      val parsed = graft.fixtures.Predictions.table(s, 100)
+        .select(col("url"), col("line_id"),
+          from_json(col("pred_json"), schemaDDL, Map.empty[String, String])
+            .getField("predictions").getItem(0).as("p"))
+      val pos = parsed
+        .select(col("url"), col("line_id"),
+          posexplode(col("p.positions")).as(Seq("ci", "pc")))
+        .select(col("url"), col("line_id"), col("ci"),
+          col("pc.chars").getItem(0).getField("char").as("ch"),
+          col("pc.chars").getItem(0).getField("probability").as("prob"),
+          col("pc.globalStart").as("gs"), col("pc.globalEnd").as("ge"))
+      val wRun = Window.partitionBy(col("url"), col("line_id")).orderBy(col("ci"))
+      val isSpace = when(col("ch") === " ", 1).otherwise(0)
+      val chars = pos
+        .withColumn("word_idx", sum(isSpace).over(wRun) - isSpace)
+        .filter(col("ch") =!= " ")
+      val words = chars.groupBy(col("url"), col("line_id"), col("word_idx"))
+        .agg(
+          array_sort(collect_list(struct(col("ci"), col("ch"), col("prob")))).as("glyphs"),
+          min(col("prob")).as("pmin"), max(col("prob")).as("pmax"),
+          min(col("gs")).as("word_start"), max(col("ge")).as("word_end"),
+          count(lit(1)).as("n_glyphs"))
+        .withColumn("word", concat_ws("", expr("transform(glyphs, g -> g.ch)")))
+        .withColumn("wconf", (col("pmin") + col("pmax")) / 2.0)
+        .withColumn("glyph_confs",
+          concat_ws(",", expr("transform(glyphs, g -> cast(g.prob as string))")))
+      val wLine = Window.partitionBy(col("url"), col("line_id"))
+      words
+        .withColumn("line_conf",
+          (min(col("wconf")).over(wLine) + max(col("wconf")).over(wLine)) / 2.0)
+        .select(col("url"), col("line_id"), col("word_idx"), col("word"),
+          col("n_glyphs"), col("wconf"), col("word_start"), col("word_end"),
+          col("glyph_confs"), col("line_conf"))
+        .orderBy(col("url"), col("line_id"), col("word_idx"))
+    }),
+
     // ---- §2.5 window / ranking / top-k ----
 
     // select_regions top-k (morph.py:309-330)
@@ -965,6 +1016,13 @@ object SparkEntry {
         |  UNION ALL SELECT 'rrdm', 'accepted_wrong', resid FROM agg
         |  UNION ALL SELECT 'rrdm', 'false_vetoes', resid FROM agg)
         |ORDER BY head, metric""".stripMargin,
+    // expected side re-runs the importer's imperative char loop
+    // (div/importer.py:150-203) driver-side — see fixtures/Expected.scala
+    "q48_pred_import" ->
+      """SELECT url, line_id, word_idx, word, n_glyphs, wconf,
+        |  word_start, word_end, glyph_confs, line_conf
+        |FROM read_parquet('/tmp/graft_expected/predimport.parquet/*.parquet')
+        |ORDER BY url, line_id, word_idx""".stripMargin,
     "q04_topk_orders" ->
       """SELECT o_custkey, o_orderkey, rn FROM (
         |  SELECT o_custkey, o_orderkey,

@@ -303,5 +303,47 @@ object Expected {
       (tp.row.url, tp.trueText, tp.trueText, nCorrectionsOf(i), nTokens)
     }.toDF("url", "golden", "expected_corrected", "n_corrections", "n_tokens")
       .coalesce(1).write.mode("overwrite").parquet(s"$dir/headeval.parquet")
+
+    // expected prediction import (q48): the importer algorithm
+    // (div/importer.py:150-203) re-run as a DIRECT driver-side scan over
+    // the fixture lines — chars split into words on ' ', per-word midrange
+    // confidence over the char probabilities, word bounds from the first
+    // char's globalStart to the last char's globalEnd, line confidence as
+    // the midrange over word confidences. Cross-checks the engine's
+    // from_json + window + groupBy restructuring through a different code
+    // path (imperative scan vs relational regrouping); the per-char
+    // probability formula is the fixture's spec, shared by construction.
+    ids.flatMap { i =>
+      val tp = PagesGen.page(i)
+      tp.trueText.split("\n").zipWithIndex.flatMap { case (line, lid) =>
+        // word boundaries exactly like the importer's char loop
+        val words = scala.collection.mutable.ArrayBuffer[List[Int]]()
+        var cur = List.empty[Int]
+        line.zipWithIndex.foreach { case (c, k) =>
+          if (c == ' ') { words += cur.reverse; cur = Nil }
+          else {
+            cur = k :: cur
+            if (k == line.length - 1) words += cur.reverse
+          }
+        }
+        val wconfs = words.map { ks =>
+          val confs = ks.map(k => Predictions.charProb(tp.row.url, lid, k))
+          (confs.min + confs.max) / 2.0
+        }
+        val lineConf = (wconfs.min + wconfs.max) / 2.0
+        words.zipWithIndex.map { case (ks, wi) =>
+          val confs = ks.map(k => Predictions.charProb(tp.row.url, lid, k))
+          (tp.row.url, lid, wi,
+            ks.map(line.charAt).mkString,
+            ks.length,
+            (confs.min + confs.max) / 2.0,
+            2L * ks.head, 2L * ks.last + 1L,
+            confs.mkString(","),
+            lineConf)
+        }
+      }
+    }.toDF("url", "line_id", "word_idx", "word", "n_glyphs", "wconf",
+      "word_start", "word_end", "glyph_confs", "line_conf")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/predimport.parquet")
   }
 }

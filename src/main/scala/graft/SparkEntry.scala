@@ -226,6 +226,28 @@ object SparkEntry {
         .orderBy(col("url"), col("line_id"), col("word_idx"))
     }),
 
+    // geometric reading order over REAL 2-D boxes (psegutils.py:114-170
+    // order/topsort + the lines2regions X-Y cut): multi-column pages whose
+    // DOM emits body paragraphs row-major and the title LAST; the
+    // layout-aware segmenter pairs each block with its declared CSS box
+    // and the geometric operators must reconstruct title-first,
+    // column-major reading order and one region per column. The oracle is
+    // the generator's construction order — document order is never the
+    // answer, so the ported operators are load-bearing here.
+    "q49_layout_order" -> ((s, _) => {
+      import s.implicits._
+      s.range(0L, 100L).flatMap { i =>
+        val bb = graft.core.HtmlBlocks.segmentLayout(graft.fixtures.LayoutGen.html(i))
+        val boxes = bb.map(_._2).toIndexedSeq
+        val order = graft.core.ReadingOrder.topsort(graft.core.ReadingOrder.order(boxes))
+        val region = graft.core.ReadingOrder.xyCut(boxes)
+        order.zipWithIndex.map { case (bi, rank) =>
+          (graft.fixtures.LayoutGen.url(i), rank, region(bi), bb(bi)._1.text)
+        }
+      }.toDF("url", "rank", "region", "text")
+        .orderBy(col("url"), col("rank"))
+    }),
+
     // ---- §2.5 window / ranking / top-k ----
 
     // select_regions top-k (morph.py:309-330)
@@ -1016,6 +1038,12 @@ object SparkEntry {
         |  UNION ALL SELECT 'rrdm', 'accepted_wrong', resid FROM agg
         |  UNION ALL SELECT 'rrdm', 'false_vetoes', resid FROM agg)
         |ORDER BY head, metric""".stripMargin,
+    // expected side: the layout generator's CONSTRUCTION order (title
+    // first, column-major), no geometric code involved
+    "q49_layout_order" ->
+      """SELECT url, rank, region, text
+        |FROM read_parquet('/tmp/graft_expected/layout_order.parquet/*.parquet')
+        |ORDER BY url, rank""".stripMargin,
     // expected side re-runs the importer's imperative char loop
     // (div/importer.py:150-203) driver-side — see fixtures/Expected.scala
     "q48_pred_import" ->

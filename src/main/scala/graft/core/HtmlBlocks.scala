@@ -227,6 +227,31 @@ object HtmlBlocks {
     * whitespace play in the pixel pipeline. Returns (regionId, block)
     * pairs for the text blocks, region ids dense in reading order.
     */
+  private val cssBoxRe =
+    """<div style="position:absolute;left:(\d+)px;top:(\d+)px;width:(\d+)px;height:(\d+)px">""".r
+
+  /** Layout-aware segmentation: pair each text block with the 2-D box its
+    * absolutely-positioned container declares (CSS left/top/width/height
+    * hints — the web analog of the pixel pipeline's measured line boxes,
+    * segment.py:145-876). This is the production path that feeds REAL 2-D
+    * geometry to [[ReadingOrder.order]]/[[ReadingOrder.topsort]]/
+    * [[ReadingOrder.xyCut]]: multi-column and float layouts emit DOM
+    * order != reading order, and only the geometric operators recover it.
+    * Row-local like [[segment]] — runs inside Dataset.map, no shuffle.
+    */
+  def segmentLayout(html: String): Seq[(Block, ReadingOrder.Box)] = {
+    val blocks = segmentString(html).filter(_.kind == "text")
+    val boxes = cssBoxRe.findAllMatchIn(html).map { m =>
+      val left = m.group(1).toDouble; val top = m.group(2).toDouble
+      ReadingOrder.Box(top, top + m.group(4).toDouble,
+        left, left + m.group(3).toDouble)
+    }.toIndexedSeq
+    require(boxes.length == blocks.length,
+      s"layout parse mismatch: ${boxes.length} positioned divs vs " +
+        s"${blocks.length} text blocks")
+    blocks.zip(boxes)
+  }
+
   def groupRegions(blocks: Seq[Block]): Seq[(Int, Block)] = {
     val out = scala.collection.mutable.ArrayBuffer[(Int, Block)]()
     var region = 0

@@ -345,5 +345,17 @@ object Expected {
     }.toDF("url", "line_id", "word_idx", "word", "n_glyphs", "wconf",
       "word_start", "word_end", "glyph_confs", "line_conf")
       .coalesce(1).write.mode("overwrite").parquet(s"$dir/predimport.parquet")
+
+    // expected layout reading order (q49): the generator's construction
+    // order — title first, then column-major — emitted WITHOUT any
+    // geometric code. The engine must reconstruct it from the CSS boxes
+    // through the ported order/topsort/xyCut operators, against a DOM
+    // that emits paragraphs row-major with the title last.
+    (0L until 100L).flatMap { i =>
+      LayoutGen.expectedOrder(i).map { case (rank, region, text) =>
+        (LayoutGen.url(i), rank, region, text)
+      }
+    }.toDF("url", "rank", "region", "text")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/layout_order.parquet")
   }
 }

@@ -83,6 +83,14 @@ object Train {
 
   /** All labeled token contexts of the training corpus, via
     * segment → align zipped against golden lines.
+    *
+    * SCALE NOTE: this collects every token context to the driver and the
+    * heads are fit full-batch on driver arrays — right-sized for the
+    * 300-page offline training tool this is. At a real training-corpus
+    * scale, swap the collect for a stratified sample (or keep the
+    * examples distributed and fit with a treeAggregate gradient step);
+    * the rest of the pipeline is unaffected since only the tiny weight
+    * vectors ship.
     */
   def tokenExamples(spark: SparkSession, n: Long): Array[TokenEx] = {
     import spark.implicits._

@@ -17,6 +17,44 @@ object SparkEntry {
   private def t(s: SparkSession, dir: String, name: String): DataFrame =
     s.read.parquet(s"$dir/$name.parquet")
 
+  /** MinHash + LSH candidate pairs (shingle -> minhash -> band ->
+    * bucket-join), shared by q18 (pair listing) and q50 (cluster
+    * formation). H=8 md5 min-hashes as conditional min aggregates
+    * (map-side combinable, no j-explode); B=4 bands of R=2 rows;
+    * candidate pairs = docs sharing any band key. The band join is the
+    * linear-scale path: at 10^12 rows it replaces the O(n^2) shingle
+    * self-join of q16.
+    *
+    * Hot-band df guard (mirrored in the oracle), same skew guard as q44:
+    * a band key shared by a large fraction of a boilerplate-heavy corpus
+    * would emit O(df^2) join rows — quadratic at web scale. The windowed
+    * count shares the (band, key) shuffle the self-join needs anyway, so
+    * signatures are computed exactly once (ReusedExchange asserted in
+    * PlanAuditSpec). Pairs dropped in a hot band can still collide in one
+    * of the other 3 bands.
+    */
+  private def minhashBandPairs(s: SparkSession, dir: String): DataFrame = {
+    def md5s(c: Column): Column = md5(to_binary(c, lit("utf-8")))
+    val shingles = t(s, dir, "documents").select(col("doc_id"),
+      explode(expr(
+        "transform(sequence(1, greatest(length(text) - 11, 1), 7), i -> substring(text, i, 12))"
+      )).as("sh"))
+    def h(j: Int) = min(md5s(concat(lit(j + ":"), col("sh")))).as(s"h$j")
+    val sig = shingles.groupBy(col("doc_id"))
+      .agg(h(0), h(1), h(2), h(3), h(4), h(5), h(6), h(7))
+    val banded0 = sig.select(col("doc_id"), posexplode(array(
+      md5s(concat(col("h0"), col("h1"))), md5s(concat(col("h2"), col("h3"))),
+      md5s(concat(col("h4"), col("h5"))), md5s(concat(col("h6"), col("h7")))
+    ))).toDF("doc_id", "band", "key")
+    val wDf = Window.partitionBy(col("band"), col("key"))
+    val banded = banded0.withColumn("df", count(lit(1)).over(wDf))
+      .filter(col("df") <= 128).drop("df")
+    val a = banded.select(col("band"), col("key"), col("doc_id").as("id1"))
+    val b = banded.select(col("band"), col("key"), col("doc_id").as("id2"))
+    a.join(b, Seq("band", "key")).filter(col("id1") < col("id2"))
+      .select(col("id1"), col("id2")).distinct()
+  }
+
   /** Flagship: the full extract+correct pipeline over the synthetic corpus
     * (3 pages, mirroring the reference's 3-page golden workspace).
     */
@@ -459,33 +497,26 @@ object SparkEntry {
     // combinable, no j-explode); B=4 bands of R=2 rows; candidate pairs =
     // docs sharing any band key. The band join is the linear-scale path:
     // at 10^12 rows it replaces the O(n^2) shingle self-join of q16.
-    "q18_minhash_lsh" -> ((s, dir) => {
-      def md5s(c: Column): Column = md5(to_binary(c, lit("utf-8")))
-      val shingles = t(s, dir, "documents").select(col("doc_id"),
-        explode(expr(
-          "transform(sequence(1, greatest(length(text) - 11, 1), 7), i -> substring(text, i, 12))"
-        )).as("sh"))
-      def h(j: Int) = min(md5s(concat(lit(j + ":"), col("sh")))).as(s"h$j")
-      val sig = shingles.groupBy(col("doc_id"))
-        .agg(h(0), h(1), h(2), h(3), h(4), h(5), h(6), h(7))
-      val banded0 = sig.select(col("doc_id"), posexplode(array(
-        md5s(concat(col("h0"), col("h1"))), md5s(concat(col("h2"), col("h3"))),
-        md5s(concat(col("h4"), col("h5"))), md5s(concat(col("h6"), col("h7")))
-      ))).toDF("doc_id", "band", "key")
-      // hot-band df guard (mirrored in the oracle), same skew guard as
-      // q44: a band key shared by a large fraction of a boilerplate-heavy
-      // corpus would emit O(df^2) join rows — quadratic at web scale. The
-      // windowed count shares the (band, key) shuffle the self-join needs
-      // anyway, so signatures are computed exactly once. Pairs dropped in
-      // a hot band can still collide in one of the other 3 bands.
-      val wDf = Window.partitionBy(col("band"), col("key"))
-      val banded = banded0.withColumn("df", count(lit(1)).over(wDf))
-        .filter(col("df") <= 128).drop("df")
-      val a = banded.select(col("band"), col("key"), col("doc_id").as("id1"))
-      val b = banded.select(col("band"), col("key"), col("doc_id").as("id2"))
-      a.join(b, Seq("band", "key")).filter(col("id1") < col("id2"))
-        .select(col("id1"), col("id2")).distinct()
-        .orderBy(col("id1"), col("id2"))
+    "q18_minhash_lsh" -> ((s, dir) =>
+      minhashBandPairs(s, dir).orderBy(col("id1"), col("id2"))),
+
+    // near-dup CLUSTER formation: MinHash candidate pairs -> connected
+    // components (iterative min-label propagation, operators/Dedup) ->
+    // one keeper per component -> cluster-size histogram. This is the
+    // dedup DECISION stage the pair queries feed at web scale: transitive
+    // closure, not one-hop pairs (doc A~B, B~C dedups all three even when
+    // A and C never shared a band). Vertices include isolated docs
+    // (singleton clusters). The oracle computes the same components with
+    // a recursive transitive-closure CTE — a completely different
+    // algorithm shape.
+    "q50_dedup_clusters" -> ((s, dir) => {
+      val verts = t(s, dir, "documents").select(col("doc_id").as("id"))
+      val edges = minhashBandPairs(s, dir)
+        .select(col("id1").as("src"), col("id2").as("dst"))
+      graft.operators.Dedup.connectedComponents(verts, edges)
+        .groupBy(col("comp")).agg(count(lit(1)).as("cluster_size"))
+        .groupBy(col("cluster_size")).agg(count(lit(1)).as("n_clusters"))
+        .orderBy(col("cluster_size"))
     }),
 
     // SimHash document signatures: 32-bit sketch from the per-nibble high
@@ -956,6 +987,37 @@ object SparkEntry {
     })
   )
 
+  /** Shared MinHash-LSH candidate-pair CTEs (q18 + q50 oracles) —
+    * mirrors [[minhashBandPairs]] including the df <= 128 hot-band guard.
+    */
+  private val minhashPairsCte: String =
+    """shingles AS (
+      |  SELECT doc_id, substr(text, CAST(u AS INT), 12) AS sh
+      |  FROM (SELECT doc_id, text,
+      |          unnest(range(1, greatest(length(text) - 11, 1) + 1, 7)) AS u
+      |        FROM documents)),
+      |sig AS (
+      |  SELECT doc_id,
+      |    min(md5('0:' || sh)) AS h0, min(md5('1:' || sh)) AS h1,
+      |    min(md5('2:' || sh)) AS h2, min(md5('3:' || sh)) AS h3,
+      |    min(md5('4:' || sh)) AS h4, min(md5('5:' || sh)) AS h5,
+      |    min(md5('6:' || sh)) AS h6, min(md5('7:' || sh)) AS h7
+      |  FROM shingles GROUP BY doc_id),
+      |banded0 AS (
+      |  SELECT doc_id, 0 AS band, md5(h0 || h1) AS key FROM sig
+      |  UNION ALL SELECT doc_id, 1, md5(h2 || h3) FROM sig
+      |  UNION ALL SELECT doc_id, 2, md5(h4 || h5) FROM sig
+      |  UNION ALL SELECT doc_id, 3, md5(h6 || h7) FROM sig),
+      |banded AS (
+      |  SELECT doc_id, band, key FROM (
+      |    SELECT doc_id, band, key,
+      |      count(*) OVER (PARTITION BY band, key) AS df
+      |    FROM banded0) WHERE df <= 128),
+      |mh_pairs AS (
+      |  SELECT DISTINCT a.doc_id AS id1, b.doc_id AS id2
+      |  FROM banded a JOIN banded b
+      |    ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id)""".stripMargin
+
   def oracleSql: Map[String, String] = Map(
     "q01_wer_stats" ->
       """SELECT count(*) AS total_words,
@@ -1129,32 +1191,23 @@ object SparkEntry {
         |  FROM documents GROUP BY fp1, fp2)
         |SELECT n_dups, count(*) AS n_groups FROM fps GROUP BY n_dups ORDER BY n_dups""".stripMargin,
     "q18_minhash_lsh" ->
-      """WITH shingles AS (
-        |  SELECT doc_id, substr(text, CAST(u AS INT), 12) AS sh
-        |  FROM (SELECT doc_id, text,
-        |          unnest(range(1, greatest(length(text) - 11, 1) + 1, 7)) AS u
-        |        FROM documents)),
-        |sig AS (
-        |  SELECT doc_id,
-        |    min(md5('0:' || sh)) AS h0, min(md5('1:' || sh)) AS h1,
-        |    min(md5('2:' || sh)) AS h2, min(md5('3:' || sh)) AS h3,
-        |    min(md5('4:' || sh)) AS h4, min(md5('5:' || sh)) AS h5,
-        |    min(md5('6:' || sh)) AS h6, min(md5('7:' || sh)) AS h7
-        |  FROM shingles GROUP BY doc_id),
-        |banded0 AS (
-        |  SELECT doc_id, 0 AS band, md5(h0 || h1) AS key FROM sig
-        |  UNION ALL SELECT doc_id, 1, md5(h2 || h3) FROM sig
-        |  UNION ALL SELECT doc_id, 2, md5(h4 || h5) FROM sig
-        |  UNION ALL SELECT doc_id, 3, md5(h6 || h7) FROM sig),
-        |banded AS (
-        |  SELECT doc_id, band, key FROM (
-        |    SELECT doc_id, band, key,
-        |      count(*) OVER (PARTITION BY band, key) AS df
-        |    FROM banded0) WHERE df <= 128)
-        |SELECT DISTINCT a.doc_id AS id1, b.doc_id AS id2
-        |FROM banded a JOIN banded b
-        |  ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id
-        |ORDER BY id1, id2""".stripMargin,
+      s"""WITH $minhashPairsCte
+        |SELECT id1, id2 FROM mh_pairs ORDER BY id1, id2""".stripMargin,
+    // components via a recursive transitive-closure CTE — a completely
+    // different algorithm shape than the engine's min-label propagation
+    "q50_dedup_clusters" ->
+      s"""WITH RECURSIVE $minhashPairsCte,
+        |edges AS (
+        |  SELECT id1 AS src, id2 AS dst FROM mh_pairs
+        |  UNION SELECT id2, id1 FROM mh_pairs),
+        |reach AS (
+        |  SELECT doc_id AS a, doc_id AS b FROM documents
+        |  UNION
+        |  SELECT r.a, e.dst FROM reach r JOIN edges e ON r.b = e.src),
+        |comp AS (SELECT a AS id, min(b) AS comp FROM reach GROUP BY a),
+        |sizes AS (SELECT comp, count(*) AS cluster_size FROM comp GROUP BY comp)
+        |SELECT cluster_size, count(*) AS n_clusters FROM sizes
+        |GROUP BY cluster_size ORDER BY cluster_size""".stripMargin,
     "q19_simhash" -> {
       val bits = (1 to 32).map(k =>
         s"CASE WHEN sum(CASE WHEN substr(h,$k,1) >= '8' THEN 1 ELSE -1 END) >= 0 THEN '1' ELSE '0' END"

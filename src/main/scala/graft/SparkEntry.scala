@@ -581,17 +581,17 @@ object SparkEntry {
     // precision via zip_with + aggregate fold; output ranks only (floats
     // stay internal), rank on round(cos,3) with vec_id tiebreak.
     "q20_ann_topk" -> ((s, dir) => {
-      val emb = t(s, dir, "embeddings").select(col("vec_id"),
-        expr("transform(embedding, x -> cast(x as double))").as("v"))
+      // cosine via the codegen'd CosineSim expression (one fused pass over
+      // the raw FLOAT arrays, bitwise-equal to the HOF fold it replaced —
+      // HOFs are CodegenFallback and re-walk the arrays three times)
+      graft.functions.CosineSim.register(s)
+      val emb = t(s, dir, "embeddings").select(col("vec_id"), col("embedding").as("v"))
       val q = emb.filter(col("vec_id") < 5)
         .select(col("vec_id").as("qid"), col("v").as("qv"))
-      val dot = expr("aggregate(zip_with(qv, v, (x, y) -> x * y), cast(0 as double), (acc, x) -> acc + x)")
-      val nq = sqrt(expr("aggregate(transform(qv, x -> x * x), cast(0 as double), (acc, x) -> acc + x)"))
-      val nv = sqrt(expr("aggregate(transform(v, x -> x * x), cast(0 as double), (acc, x) -> acc + x)"))
       val w = Window.partitionBy(col("qid"))
         .orderBy(col("cos_r").desc, col("vec_id").asc)
       broadcast(q).join(emb, col("vec_id") =!= col("qid"))
-        .withColumn("cos_r", round(dot / (nq * nv), 3))
+        .withColumn("cos_r", round(expr("graft_cosine(qv, v)"), 3))
         .withColumn("rnk", row_number().over(w))
         .filter(col("rnk") <= 3)
         .select(col("qid"), col("vec_id"), col("rnk"))
@@ -657,14 +657,12 @@ object SparkEntry {
         .crossJoin(broadcast(centArr)).withColumn("ds", dists)
         .select(col("vec_id").as("qid"), col("v").as("qv"),
           explode(expr("transform(slice(ds, 1, 2), x -> x.cid)")).as("cid"))
-      val dot = expr("aggregate(zip_with(qv, v, (x, y) -> x * y), cast(0 as double), (acc, x) -> acc + x)")
-      val nq = sqrt(expr("aggregate(transform(qv, x -> x * x), cast(0 as double), (acc, x) -> acc + x)"))
-      val nv = sqrt(expr("aggregate(transform(v, x -> x * x), cast(0 as double), (acc, x) -> acc + x)"))
+      graft.functions.CosineSim.register(s)
       val wQ = Window.partitionBy(col("qid"))
         .orderBy(col("cos_r").desc, col("vec_id").asc)
       probes.join(assigned, Seq("cid"))
         .filter(col("qid") =!= col("vec_id"))
-        .withColumn("cos_r", round(dot / (nq * nv), 3))
+        .withColumn("cos_r", round(expr("graft_cosine(qv, v)"), 3))
         .withColumn("rnk", row_number().over(wQ))
         .filter(col("rnk") <= 3)
         .select(col("qid"), col("vec_id"), col("rnk"))

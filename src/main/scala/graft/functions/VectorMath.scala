@@ -1,0 +1,102 @@
+package graft.functions
+
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType}
+
+/** Cosine-similarity kernel over float embeddings.
+  *
+  * One fused pass accumulates dot product and both squared norms in the
+  * same element order (and the same float->double widening) as the
+  * higher-order-function formulation it replaces
+  * (`aggregate(zip_with(...))` + two norm folds), so results are
+  * bit-identical — the HOFs are `CodegenFallback` expressions that break
+  * whole-stage codegen and re-walk the arrays three times, while this
+  * kernel is a single static call inside the generated code.
+  */
+object VecKernel {
+  /** cosine(a, b) = dot / (sqrt(na) * sqrt(nb)); 0-length or zero-norm
+    * inputs yield NaN exactly like the HOF division does. Float inputs
+    * widen per element — bitwise the same as casting the whole array to
+    * double first.
+    */
+  def cosineF(a: ArrayData, b: ArrayData): Double = {
+    val n = math.min(a.numElements(), b.numElements())
+    var dot = 0.0; var na = 0.0; var nb = 0.0
+    var i = 0
+    while (i < n) {
+      val x = a.getFloat(i).toDouble
+      val y = b.getFloat(i).toDouble
+      dot += x * y; na += x * x; nb += y * y
+      i += 1
+    }
+    dot / (math.sqrt(na) * math.sqrt(nb))
+  }
+
+  def cosineD(a: ArrayData, b: ArrayData): Double = {
+    val n = math.min(a.numElements(), b.numElements())
+    var dot = 0.0; var na = 0.0; var nb = 0.0
+    var i = 0
+    while (i < n) {
+      val x = a.getDouble(i)
+      val y = b.getDouble(i)
+      dot += x * y; na += x * x; nb += y * y
+      i += 1
+    }
+    dot / (math.sqrt(na) * math.sqrt(nb))
+  }
+}
+
+/** Catalyst expression `graft_cosine(a, b)` over ARRAY<FLOAT> columns —
+  * codegen-compatible (direct static call, no interpreted fallback), the
+  * hot-path scalar of the ANN queries (q20/q40).
+  */
+case class CosineSim(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  private def elem(t: DataType): Option[DataType] = t match {
+    case ArrayType(e @ (FloatType | DoubleType), _) => Some(e)
+    case _ => None
+  }
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    (elem(left.dataType), elem(right.dataType)) match {
+      case (Some(a), Some(b)) if a == b => TypeCheckResult.TypeCheckSuccess
+      case _ => TypeCheckResult.TypeCheckFailure(
+        s"graft_cosine expects two arrays of the same float/double " +
+          s"element type, got (${left.dataType}, ${right.dataType})")
+    }
+
+  override def dataType: DataType = DoubleType
+
+  private def kernel: String =
+    if (left.dataType == ArrayType(FloatType, false) ||
+      left.dataType == ArrayType(FloatType, true)) "cosineF" else "cosineD"
+
+  override protected def nullSafeEval(a: Any, b: Any): Any =
+    if (kernel == "cosineF")
+      VecKernel.cosineF(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+    else
+      VecKernel.cosineD(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b) =>
+      s"graft.functions.VecKernel.$kernel($a, $b)")
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): CosineSim =
+    copy(left = newLeft, right = newRight)
+}
+
+object CosineSim {
+  /** Per-session SQL registration, so `expr("graft_cosine(a, b)")` works
+    * (same injection point as BoundedLevenshtein).
+    */
+  def register(spark: org.apache.spark.sql.SparkSession): Unit =
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "graft_cosine",
+      (children: Seq[Expression]) => CosineSim(children(0), children(1)),
+      "scala_udf")
+}

@@ -59,6 +59,7 @@ object BoundedLevPredicateRewrite extends Rule[LogicalPlan] {
   /** Install on a live session (tests / notebooks). */
   def inject(spark: org.apache.spark.sql.SparkSession): Unit = {
     BoundedLevenshtein.register(spark)
+    graft.functions.CosineSim.register(spark)
     if (!spark.sessionState.optimizer.preCBORules.contains(this) &&
         !spark.experimental.extraOptimizations.contains(this))
       spark.experimental.extraOptimizations =

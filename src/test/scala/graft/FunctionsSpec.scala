@@ -51,6 +51,46 @@ class FunctionsSpec extends AnyFunSuite {
       s"expression fell out of codegen:\n$plan")
   }
 
+  test("graft_cosine is bitwise-equal to the HOF fold it replaced, float and double") {
+    graft.functions.CosineSim.register(spark)
+    import spark.implicits._
+    val rng = new scala.util.Random(7)
+    val vecs = (0 until 50).map(i =>
+      (i.toLong, Array.fill(16)(rng.nextFloat() * 2 - 1)))
+    val df = vecs.toDF("id", "f")
+      .withColumn("d", expr("transform(f, x -> cast(x as double))"))
+    val hofF =
+      expr("""aggregate(zip_with(transform(f, x -> cast(x as double)),
+             |               transform(reverse(f), x -> cast(x as double)),
+             |               (x, y) -> x * y), cast(0 as double), (acc, x) -> acc + x)""".stripMargin) /
+        (sqrt(expr("aggregate(transform(f, x -> cast(x as double) * cast(x as double)), cast(0 as double), (acc, x) -> acc + x)")) *
+          sqrt(expr("aggregate(transform(reverse(f), x -> cast(x as double) * cast(x as double)), cast(0 as double), (acc, x) -> acc + x)")))
+    val rows = df
+      .withColumn("hof", hofF)
+      .withColumn("exF", expr("graft_cosine(f, reverse(f))"))
+      .withColumn("exD", expr("graft_cosine(d, reverse(d))"))
+      .collect()
+    rows.foreach { r =>
+      val hof = r.getAs[Double]("hof")
+      assert(java.lang.Double.doubleToLongBits(hof) ==
+        java.lang.Double.doubleToLongBits(r.getAs[Double]("exF")),
+        s"float kernel differs: $hof vs ${r.getAs[Double]("exF")}")
+      assert(java.lang.Double.doubleToLongBits(hof) ==
+        java.lang.Double.doubleToLongBits(r.getAs[Double]("exD")),
+        s"double kernel differs")
+    }
+  }
+
+  test("graft_cosine stays inside whole-stage codegen over a parquet scan") {
+    graft.functions.CosineSim.register(spark)
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+      .select(expr("graft_cosine(embedding, embedding)").as("c"))
+    assert(emb.filter(col("c").isNaN === false).count() > 0)
+    val plan = emb.queryExecution.executedPlan.toString
+    assert(plan.contains("WholeStageCodegen") || plan.contains("*(1)"),
+      s"expression fell out of codegen:\n$plan")
+  }
+
   test("CER aggregator matches the reference formula") {
     import spark.implicits._
     val ds = Seq(("abc", "abd"), ("hello", "hello"), ("xy", "xyz")).toDS()

@@ -611,13 +611,11 @@ object SparkEntry {
       val banded = emb.select(col("vec_id"), col("v"),
         posexplode(array((0 to 3).map(bandKey): _*)))
         .toDF("vec_id", "v", "band", "key")
+      graft.functions.CosineSim.register(s)
       val a = banded.select(col("band"), col("key"), col("vec_id").as("id1"), col("v").as("v1"))
       val c = banded.select(col("band"), col("key"), col("vec_id").as("id2"), col("v").as("v2"))
-      val dot = expr("aggregate(zip_with(v1, v2, (x, y) -> x * y), cast(0 as double), (acc, x) -> acc + x)")
-      val n1 = sqrt(expr("aggregate(transform(v1, x -> x * x), cast(0 as double), (acc, x) -> acc + x)"))
-      val n2 = sqrt(expr("aggregate(transform(v2, x -> x * x), cast(0 as double), (acc, x) -> acc + x)"))
       a.join(c, Seq("band", "key")).filter(col("id1") < col("id2"))
-        .withColumn("cos_r", round(dot / (n1 * n2), 3))
+        .withColumn("cos_r", round(expr("graft_cosine(v1, v2)"), 3))
         .filter(col("cos_r") >= 0.35)
         .select(col("id1"), col("id2")).distinct()
         .orderBy(col("id1"), col("id2"))

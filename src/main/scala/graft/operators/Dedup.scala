@@ -13,17 +13,20 @@ import org.apache.spark.sql.functions._
   *
   * Algorithm: iterative minimum-label propagation (the alternating
   * star-contraction family — see the small-star/large-star formulation
-  * used by large-scale CC systems). Each round every vertex adopts the
-  * smallest label in its closed neighborhood; rounds repeat until a
-  * fixpoint. Convergence needs O(graph diameter) rounds — near-dup
-  * graphs are dense clique-ish clusters with tiny diameters, so a handful
-  * of rounds suffices; `maxRounds` bounds the worst case and the method
-  * throws rather than returning a non-fixpoint labeling.
+  * used by large-scale CC systems) restricted to EDGE ENDPOINTS — at web
+  * scale the overwhelming majority of documents touch no candidate pair,
+  * and looping over them would shuffle the whole corpus every round for
+  * nothing; isolated vertices join as singleton components after the
+  * fixpoint, via one anti-join. Each round every endpoint adopts the
+  * smallest label in its closed neighborhood; labels decrease
+  * monotonically, so the fixpoint test is "did the label sum change" —
+  * one aggregate per round (summed as DECIMAL so 10^12 64-bit ids cannot
+  * overflow), not a self-join against the previous labels.
   *
-  * Scale shape per round: one equi-join (labels x edges, both hash
-  * partitioned on the join key) + one min-aggregation — no driver-side
-  * graph state, labels persisted across rounds so each iteration reads
-  * the previous materialization instead of recomputing the lineage chain.
+  * Convergence needs O(graph diameter) rounds — near-dup graphs are
+  * dense clique-ish clusters with tiny diameters, so a handful of rounds
+  * suffices; `maxRounds` bounds the worst case and the method throws
+  * rather than returning a non-fixpoint labeling.
   */
 object Dedup {
 
@@ -44,31 +47,50 @@ object Dedup {
       .union(edges.select(col("dst").as("src"), col("src").as("dst")))
       .distinct()
       .persist()
-    var labels = vertices.select(col("id"), col("id").as("comp")).persist()
+    var labels = sym.select(col("src").as("id")).distinct()
+      .withColumn("comp", col("id")).persist()
+    var prevSum = labels.agg(sum(col("comp").cast("decimal(38,0)"))).first().getDecimal(0)
     var round = 0
-    var converged = false
+    var converged = prevSum == null // empty graph: nothing to propagate
     while (!converged && round < maxRounds) {
       // neighborhood minimum: labels flow across every edge, then each
-      // vertex keeps the min of (its label, incoming labels)
+      // endpoint keeps the min of (its label, incoming labels)
       val viaEdges = labels.join(sym, col("id") === col("src"))
         .select(col("dst").as("id"), col("comp"))
-      val next = labels.select(col("id"), col("comp")).union(viaEdges)
+      val hopped = labels.select(col("id"), col("comp")).union(viaEdges)
         .groupBy(col("id")).agg(min(col("comp")).as("comp"))
-        .persist()
-      // one count materializes `next` AND detects the fixpoint
-      val changed = next.as("n")
-        .join(labels.as("l"), col("n.id") === col("l.id"))
-        .filter(col("n.comp") =!= col("l.comp"))
-        .count()
+      // pointer jumping: also adopt the label OF the label, so propagation
+      // distance doubles per round — O(log diameter) rounds instead of
+      // O(diameter), the same shortcutting star-contraction CC uses
+      // localCheckpoint (eager) materializes the round AND truncates the
+      // logical plan — an iterative self-referencing loop otherwise grows
+      // the analyzed plan exponentially (each round embeds the previous
+      // round's plan 3x), and analysis time dwarfs the actual work. This
+      // is the standard lineage-cut every iterative-on-Spark algorithm
+      // (GraphFrames CC, ALS) applies.
+      val next = hopped.as("h")
+        .join(labels.as("l"), col("h.comp") === col("l.id"), "left")
+        .select(col("h.id"),
+          least(col("h.comp"), coalesce(col("l.comp"), col("h.comp"))).as("comp"))
+        .localCheckpoint(true)
+      // fixpoint test: per-vertex labels are monotonically non-increasing,
+      // so an unchanged sum means no label moved
+      val s = next.agg(sum(col("comp").cast("decimal(38,0)"))).first().getDecimal(0)
       labels.unpersist()
       labels = next
-      converged = changed == 0L
+      converged = s.compareTo(prevSum) == 0
+      prevSum = s
       round += 1
     }
-    sym.unpersist()
     require(converged,
       s"connectedComponents did not converge within $maxRounds rounds — " +
         "graph diameter exceeds the bound; raise maxRounds")
-    labels
+    // isolated vertices = singleton components, attached without ever
+    // entering the propagation loop
+    val isolated = vertices.select(col("id"))
+      .join(sym.select(col("src").as("id")).distinct(), Seq("id"), "left_anti")
+      .withColumn("comp", col("id"))
+    sym.unpersist()
+    labels.union(isolated)
   }
 }

@@ -22,6 +22,38 @@ class DedupSpec extends AnyFunSuite {
     assert(comp(7L) == 7L)
   }
 
+  test("connected components agree with a driver-side union-find on random graphs") {
+    import spark.implicits._
+    val rng = new scala.util.Random(11)
+    (1 to 3).foreach { _ =>
+      val n = 40 + rng.nextInt(40)
+      val edges = Seq.fill(30)((rng.nextInt(n).toLong, rng.nextInt(n).toLong))
+        .filter(e => e._1 != e._2)
+      // reference: plain union-find
+      val parent = Array.tabulate(n)(identity)
+      def find(x: Int): Int = { var r = x; while (parent(r) != r) r = parent(r); r }
+      edges.foreach { case (a, b) =>
+        val (ra, rb) = (find(a.toInt), find(b.toInt))
+        if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+      }
+      val expected = (0 until n).map { v =>
+        // component representative = min id, reachable via repeated find
+        var r = find(v)
+        while (parent(r) != r) r = parent(r)
+        v.toLong -> r.toLong
+      }.toMap
+      // min id of each union-find class (find() root is not min in general)
+      val minOfClass = expected.groupBy(_._2).map { case (root, m) => root -> m.keys.min }
+      val got = Dedup.connectedComponents(
+        (0L until n.toLong).toDF("id"), edges.toDF("src", "dst"))
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      (0 until n).foreach { v =>
+        assert(got(v.toLong) == minOfClass(expected(v.toLong)),
+          s"vertex $v: got ${got(v.toLong)}, want ${minOfClass(expected(v.toLong))} (n=$n)")
+      }
+    }
+  }
+
   test("connected components: throws rather than returning a non-fixpoint") {
     import spark.implicits._
     val verts = (0L to 9L).toDF("id")

@@ -71,12 +71,14 @@ case class CosineSim(left: Expression, right: Expression)
 
   override def dataType: DataType = DoubleType
 
-  private def kernel: String =
-    if (left.dataType == ArrayType(FloatType, false) ||
-      left.dataType == ArrayType(FloatType, true)) "cosineF" else "cosineD"
+  @transient private lazy val isFloat: Boolean = left.dataType match {
+    case ArrayType(FloatType, _) => true
+    case _ => false
+  }
+  private def kernel: String = if (isFloat) "cosineF" else "cosineD"
 
   override protected def nullSafeEval(a: Any, b: Any): Any =
-    if (kernel == "cosineF")
+    if (isFloat)
       VecKernel.cosineF(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
     else
       VecKernel.cosineD(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])

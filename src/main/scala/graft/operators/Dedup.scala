@@ -62,17 +62,23 @@ object Dedup {
       // pointer jumping: also adopt the label OF the label, so propagation
       // distance doubles per round — O(log diameter) rounds instead of
       // O(diameter), the same shortcutting star-contraction CC uses
-      // localCheckpoint (eager) materializes the round AND truncates the
-      // logical plan — an iterative self-referencing loop otherwise grows
-      // the analyzed plan exponentially (each round embeds the previous
+      // eager checkpoint materializes the round AND truncates the logical
+      // plan — an iterative self-referencing loop otherwise grows the
+      // analyzed plan exponentially (each round embeds the previous
       // round's plan 3x), and analysis time dwarfs the actual work. This
       // is the standard lineage-cut every iterative-on-Spark algorithm
-      // (GraphFrames CC, ALS) applies.
-      val next = hopped.as("h")
+      // (GraphFrames CC, ALS) applies. With a cluster checkpoint dir
+      // configured the cut is RELIABLE (HDFS/S3 — survives executor
+      // loss, which truncated-lineage localCheckpoint does not); local
+      // mode falls back to executor-local storage.
+      val next0 = hopped.as("h")
         .join(labels.as("l"), col("h.comp") === col("l.id"), "left")
         .select(col("h.id"),
           least(col("h.comp"), coalesce(col("l.comp"), col("h.comp"))).as("comp"))
-        .localCheckpoint(true)
+      val next =
+        if (vertices.sparkSession.sparkContext.getCheckpointDir.isDefined)
+          next0.checkpoint(true)
+        else next0.localCheckpoint(true)
       // fixpoint test: per-vertex labels are monotonically non-increasing,
       // so an unchanged sum means no label moved
       val s = next.agg(sum(col("comp").cast("decimal(38,0)"))).first().getDecimal(0)

@@ -33,9 +33,9 @@ object SparkEntry {
     * PlanAuditSpec). Pairs dropped in a hot band can still collide in one
     * of the other 3 bands.
     */
-  private def minhashBandPairs(s: SparkSession, dir: String): DataFrame = {
+  private def minhashBandPairs(docs: DataFrame): DataFrame = {
     def md5s(c: Column): Column = md5(to_binary(c, lit("utf-8")))
-    val shingles = t(s, dir, "documents").select(col("doc_id"),
+    val shingles = docs.select(col("doc_id"),
       explode(expr(
         "transform(sequence(1, greatest(length(text) - 11, 1), 7), i -> substring(text, i, 12))"
       )).as("sh"))
@@ -286,6 +286,46 @@ object SparkEntry {
         .orderBy(col("url"), col("rank"))
     }),
 
+    // the COMPOSED training-data prep chain — the engine's actual 100 TB
+    // use case, every stage reusing an individually-oracled operator:
+    //   quality gate (q14's stats)  ->  exact dedup (q15's 2-lane
+    //   multiset fingerprint, keeper = min doc per fp)  ->  near-dup
+    //   clusters over the SURVIVORS (q18 pairs -> q50 connected
+    //   components, keeper = component representative)  ->  per-source
+    //   corpus stats of the kept documents.
+    // Scale shape: one narrow filter + one fp groupBy-window + the
+    // band-join/CC path — no stage introduces work the standalone
+    // queries don't already carry.
+    "q51_corpus_prep" -> ((s, dir) => {
+      val nSpaces = length(col("text")) - length(regexp_replace(col("text"), " ", ""))
+      val awl = (length(col("text")) - nSpaces).cast("double") / (nSpaces + 1)
+      val surv0 = t(s, dir, "documents")
+        .filter(col("n_chars") >= 100 && awl.between(4.0, 8.0))
+        .select(col("doc_id"), col("source"), col("text"))
+      def lane(from: Int, p: String) =
+        s"""aggregate(
+           |  transform(split(text, ' '),
+           |    t -> cast(conv(substring(md5(to_binary(t, 'utf-8')), $from, 12), 16, 10) as bigint)),
+           |  cast(0 as bigint), (a, x) -> pmod(a + x, ${p}L))""".stripMargin
+      val wFp = Window.partitionBy(col("fp1"), col("fp2"))
+      val ex = surv0
+        .withColumn("fp1", expr(lane(1, "2305843009213693951")))
+        .withColumn("fp2", expr(lane(13, "1152921504606846883")))
+        .withColumn("keeper", min(col("doc_id")).over(wFp))
+        .filter(col("doc_id") === col("keeper"))
+        .select(col("doc_id"), col("source"), col("text"))
+      val edges = minhashBandPairs(ex)
+        .select(col("id1").as("src"), col("id2").as("dst"))
+      val comp = graft.operators.Dedup.connectedComponents(
+        ex.select(col("doc_id").as("id")), edges)
+      ex.join(comp, ex("doc_id") === comp("id"))
+        .filter(col("comp") === col("id"))
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(size(split(col("text"), " "))).as("sum_tokens"))
+        .orderBy(col("source"))
+    }),
+
     // ---- §2.5 window / ranking / top-k ----
 
     // select_regions top-k (morph.py:309-330)
@@ -498,7 +538,7 @@ object SparkEntry {
     // docs sharing any band key. The band join is the linear-scale path:
     // at 10^12 rows it replaces the O(n^2) shingle self-join of q16.
     "q18_minhash_lsh" -> ((s, dir) =>
-      minhashBandPairs(s, dir).orderBy(col("id1"), col("id2"))),
+      minhashBandPairs(t(s, dir, "documents")).orderBy(col("id1"), col("id2"))),
 
     // near-dup CLUSTER formation: MinHash candidate pairs -> connected
     // components (iterative min-label propagation, operators/Dedup) ->
@@ -511,7 +551,7 @@ object SparkEntry {
     // algorithm shape.
     "q50_dedup_clusters" -> ((s, dir) => {
       val verts = t(s, dir, "documents").select(col("doc_id").as("id"))
-      val edges = minhashBandPairs(s, dir)
+      val edges = minhashBandPairs(t(s, dir, "documents"))
         .select(col("id1").as("src"), col("id2").as("dst"))
       graft.operators.Dedup.connectedComponents(verts, edges)
         .groupBy(col("comp")).agg(count(lit(1)).as("cluster_size"))
@@ -983,15 +1023,16 @@ object SparkEntry {
     })
   )
 
-  /** Shared MinHash-LSH candidate-pair CTEs (q18 + q50 oracles) —
-    * mirrors [[minhashBandPairs]] including the df <= 128 hot-band guard.
+  /** Shared MinHash-LSH candidate-pair CTEs (q18/q50/q51 oracles) —
+    * mirrors [[minhashBandPairs]] including the df <= 128 hot-band guard;
+    * `from` is the doc-set CTE/table the shingles read.
     */
-  private val minhashPairsCte: String =
-    """shingles AS (
+  private def minhashPairsCte(from: String): String =
+    s"""shingles AS (
       |  SELECT doc_id, substr(text, CAST(u AS INT), 12) AS sh
       |  FROM (SELECT doc_id, text,
       |          unnest(range(1, greatest(length(text) - 11, 1) + 1, 7)) AS u
-      |        FROM documents)),
+      |        FROM $from)),
       |sig AS (
       |  SELECT doc_id,
       |    min(md5('0:' || sh)) AS h0, min(md5('1:' || sh)) AS h1,
@@ -1187,12 +1228,12 @@ object SparkEntry {
         |  FROM documents GROUP BY fp1, fp2)
         |SELECT n_dups, count(*) AS n_groups FROM fps GROUP BY n_dups ORDER BY n_dups""".stripMargin,
     "q18_minhash_lsh" ->
-      s"""WITH $minhashPairsCte
+      s"""WITH ${minhashPairsCte("documents")}
         |SELECT id1, id2 FROM mh_pairs ORDER BY id1, id2""".stripMargin,
     // components via a recursive transitive-closure CTE — a completely
     // different algorithm shape than the engine's min-label propagation
     "q50_dedup_clusters" ->
-      s"""WITH RECURSIVE $minhashPairsCte,
+      s"""WITH RECURSIVE ${minhashPairsCte("documents")},
         |edges AS (
         |  SELECT id1 AS src, id2 AS dst FROM mh_pairs
         |  UNION SELECT id2, id1 FROM mh_pairs),
@@ -1204,6 +1245,42 @@ object SparkEntry {
         |sizes AS (SELECT comp, count(*) AS cluster_size FROM comp GROUP BY comp)
         |SELECT cluster_size, count(*) AS n_clusters FROM sizes
         |GROUP BY cluster_size ORDER BY cluster_size""".stripMargin,
+    // composed prep chain: quality gate -> exact-dedup keepers ->
+    // near-dup component representatives over the survivors -> stats
+    "q51_corpus_prep" ->
+      s"""WITH RECURSIVE
+        |surv0 AS (
+        |  SELECT doc_id, source, text FROM documents
+        |  WHERE n_chars >= 100 AND
+        |    CAST(length(text) - (length(text) - length(replace(text, ' ', ''))) AS DOUBLE)
+        |      / ((length(text) - length(replace(text, ' ', ''))) + 1) BETWEEN 4 AND 8),
+        |fps AS (
+        |  SELECT doc_id, source, text,
+        |    list_reduce(list_transform(string_split(text, ' '),
+        |      t -> ('0x' || substring(md5(t), 1, 12))::BIGINT),
+        |      (a, x) -> (a + x) % 2305843009213693951) AS fp1,
+        |    list_reduce(list_transform(string_split(text, ' '),
+        |      t -> ('0x' || substring(md5(t), 13, 12))::BIGINT),
+        |      (a, x) -> (a + x) % 1152921504606846883) AS fp2
+        |  FROM surv0),
+        |ex AS (
+        |  SELECT doc_id, source, text FROM (
+        |    SELECT *, min(doc_id) OVER (PARTITION BY fp1, fp2) AS keeper FROM fps)
+        |  WHERE doc_id = keeper),
+        |${minhashPairsCte("ex")},
+        |edges AS (
+        |  SELECT id1 AS src, id2 AS dst FROM mh_pairs
+        |  UNION SELECT id2, id1 FROM mh_pairs),
+        |reach AS (
+        |  SELECT doc_id AS a, doc_id AS b FROM ex
+        |  UNION
+        |  SELECT r.a, e.dst FROM reach r JOIN edges e ON r.b = e.src),
+        |comp AS (SELECT a AS id, min(b) AS comp FROM reach GROUP BY a)
+        |SELECT source, count(*) AS n_docs,
+        |  CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS sum_tokens
+        |FROM ex JOIN comp ON ex.doc_id = comp.id
+        |WHERE comp.comp = comp.id
+        |GROUP BY source ORDER BY source""".stripMargin,
     "q19_simhash" -> {
       val bits = (1 to 32).map(k =>
         s"CASE WHEN sum(CASE WHEN substr(h,$k,1) >= '8' THEN 1 ELSE -1 END) >= 0 THEN '1' ELSE '0' END"

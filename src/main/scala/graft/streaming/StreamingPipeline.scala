@@ -59,6 +59,43 @@ object StreamingPipeline {
       }
   }
 
+  /** Row-local MinHash signature — the SAME scheme as the batch near-dup
+    * pair stage (SparkEntry q18: stride-7 char-12-gram shingles, 8 salted
+    * md5 min-hashes), folded to one string key.
+    */
+  def minhashSignature(text: String): String = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    def md5hex(s: String): String =
+      md.digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    val last = math.max(text.length - 11, 1)
+    val shingles = (1 to last by 7).map(i =>
+      text.substring(i - 1, math.min(text.length, i + 11)))
+    (0 until 8).map(j => shingles.map(sh => md5hex(s"$j:$sh")).min).mkString("|")
+  }
+
+  /** Stateful cross-batch NEAR-duplicate suppression: incoming docs are
+    * keyed by their full 8-hash MinHash signature and the first sighting
+    * wins — recrawls, mirrors and boilerplate re-renders that survive the
+    * url dedup collapse here. Signature IDENTITY is the high-precision
+    * end of the near-dup spectrum (8/8 min-hashes agreeing implies
+    * near-certain high Jaccard); the full-recall path — band join +
+    * transitive connected components — needs a corpus-global view and
+    * stays batch (q18/q50). State is one boolean per distinct signature.
+    */
+  def nearDupFirstSeen(pages: Dataset[PageRow]): Dataset[PageRow] = {
+    import pages.sparkSession.implicits._
+    pages.groupByKey(p => minhashSignature(p.text))
+      .flatMapGroupsWithState[Boolean, PageRow](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        (_: String, rows: Iterator[PageRow], state: GroupState[Boolean]) =>
+          if (state.exists) Iterator.empty
+          else {
+            state.update(true)
+            rows.take(1)
+          }
+      }
+  }
+
   /** Watermarked per-host ingest rate: tumbling 1-hour windows over the
     * page's own `warc_ts` event time, 2-hour watermark for late crawls —
     * the standard streaming windowed aggregation over the corrected feed.

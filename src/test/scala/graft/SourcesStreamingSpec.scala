@@ -142,4 +142,54 @@ class StatefulStreamingSpec extends AnyFunSuite {
       assert(rows.forall(_.getString(0).startsWith("host")))
     } finally q.stop()
   }
+
+  test("streaming minhash signature matches the batch q18 signature scheme") {
+    import spark.implicits._
+    // same shingling + salted min-hash as the SQL pair stage: cross-check
+    // the row-local Scala fold against the Spark SQL expression chain
+    val texts = (0L until 5L).map(i => PagesGen.page(i).row.text)
+    val sqlSig = texts.toDF("text")
+      .select(expr(
+        """concat_ws('|', transform(sequence(0, 7), j ->
+          |  array_min(transform(
+          |    transform(sequence(1, greatest(length(text) - 11, 1), 7),
+          |              i -> substring(text, i, 12)),
+          |    sh -> md5(to_binary(concat(cast(j as string), ':', sh), 'utf-8'))))))""".stripMargin))
+      .collect().map(_.getString(0))
+    texts.zip(sqlSig).foreach { case (t, sig) =>
+      assert(StreamingPipeline.minhashSignature(t) == sig)
+    }
+  }
+
+  test("stateful near-dup suppression drops re-rendered duplicates across batches") {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx = spark.sqlContext
+    val ts = new java.sql.Timestamp(0L)
+    def page(url: String, text: String) =
+      graft.core.PageRow(url, ts, Array.emptyByteArray, text, "en")
+    val in = MemoryStream[Int]
+    val base = "The quick brown fox jumps over the lazy dog. " * 5
+    // distinct urls, near-identical content: 1 and 2 share the signature
+    val feed = Map(
+      1 -> page("https://a.example/1", base),
+      2 -> page("https://mirror.example/1", base), // mirror re-render
+      3 -> page("https://b.example/2", base.replace("quick", "slow")))
+    val out = StreamingPipeline.nearDupFirstSeen(in.toDS().map(feed))
+      .map(_.url).toDF("url")
+    val q = out.writeStream.format("memory").queryName("neardup_out")
+      .outputMode("append")
+      .option("checkpointLocation",
+        Files.createTempDirectory("graft-neardup-ckpt").toString)
+      .start()
+    try {
+      in.addData(1)
+      q.processAllAvailable()
+      in.addData(2, 3) // 2 is a cross-batch near-dup of 1; 3 is novel
+      q.processAllAvailable()
+      val urls = spark.table("neardup_out").collect().map(_.getString(0)).sorted
+      assert(urls.toSeq == Seq("https://a.example/1", "https://b.example/2"),
+        s"got ${urls.toSeq}")
+    } finally q.stop()
+  }
 }

@@ -965,6 +965,18 @@ object SparkEntry {
         .orderBy(col("url"), col("frame_idx"))
     }),
 
+    // multimodal resize: stub decode -> area-ratio stride downsample ->
+    // stats; the plumbing (per-partition codec, size contract, schema) is
+    // real, the byte math stands in for libvips/ffmpeg scaling
+    "p16_media_resize" -> ((s, _) => {
+      import s.implicits._
+      graft.operators.Multimodal.resize(
+        graft.operators.Multimodal.fromPages(s, 100), targetW = 320, targetH = 240)
+        .map(r => (r.url, r.origWidth, r.origHeight, r.nBytes, r.checksum))
+        .toDF("url", "orig_w", "orig_h", "n_bytes", "checksum")
+        .orderBy(col("url"))
+    }),
+
     // multimodal feature extraction (fixed-dim deterministic vectors)
     "p09_media_features" -> ((s, _) => {
       import s.implicits._
@@ -1507,6 +1519,12 @@ object SparkEntry {
       """SELECT url, frame_idx, span_start, span_stop
         |FROM read_parquet('/tmp/graft_expected/frames.parquet/*.parquet')
         |ORDER BY url, frame_idx""".stripMargin,
+    // stub-is-spec contract like p07: geometry formulas + area-ratio
+    // stride downsample + independent FNV-1a, re-derived in Expected
+    "p16_media_resize" ->
+      """SELECT url, orig_w, orig_h, n_bytes, checksum
+        |FROM read_parquet('/tmp/graft_expected/resized.parquet/*.parquet')
+        |ORDER BY url""".stripMargin,
     "q43_confusion_profile" ->
       """SELECT pat_left, pat_right, cnt
         |FROM read_parquet('/tmp/graft_expected/confusions.parquet/*.parquet')

@@ -237,6 +237,23 @@ object Expected {
     }.toDF("url", "mediaType", "nBytes", "checksum", "width", "height", "durationMs")
       .coalesce(1).write.mode("overwrite").parquet(s"$dir/media_meta.parquet")
 
+    // expected resize stats (p16): same stub-is-spec contract as p07 —
+    // geometry from the documented StubCodec formulas, downsample as the
+    // area-ratio stride rule, checksum via the independent FNV-1a
+    ids.map { i =>
+      val tp = PagesGen.page(i)
+      val bytes = tp.row.html
+      val h0 = fnv1a(bytes)
+      val w = 160 + (Math.floorMod(h0, 8L) * 80L).toInt
+      val ht = 120 + (Math.floorMod(h0 >>> 8, 8L) * 60L).toInt
+      val n = bytes.length
+      val outLen = math.max(16L, n.toLong * (320L * 240L) / math.max(1L, w.toLong * ht))
+        .min(n.toLong).toInt
+      val out = Array.tabulate(outLen)(j => bytes((j.toLong * n / outLen).toInt))
+      (tp.row.url, w, ht, outLen.toLong, fnv1a(out))
+    }.toDF("url", "orig_w", "orig_h", "n_bytes", "checksum")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/resized.parquet")
+
     ids.flatMap { i =>
       val tp = PagesGen.page(i)
       val len = tp.row.html.length.toLong

@@ -114,6 +114,45 @@ object Multimodal {
     }
   }
 
+  /** A resized media payload: original + target geometry, the downsampled
+    * byte payload's size and checksum.
+    */
+  final case class ResizedMedia(
+      url: String,
+      origWidth: Int,
+      origHeight: Int,
+      width: Int,
+      height: Int,
+      nBytes: Long,
+      checksum: Long
+  )
+
+  /** STUB resize: decode the (stub) header, downsample the payload to the
+    * target geometry by stride-sampling bytes proportionally to the area
+    * ratio, and emit the resized payload's stats. A real implementation
+    * swaps the byte math for libvips/ffmpeg scaling; the per-partition
+    * codec reuse, the area-ratio size contract and the output schema are
+    * the production shape (the pixel pipeline's image_from_segment +
+    * scale-to-height role, div/cutter.py:57-114 resize h=48).
+    */
+  def resize(media: Dataset[MediaRow], targetW: Int, targetH: Int): Dataset[ResizedMedia] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions { rows =>
+      val codec = new StubCodec
+      rows.map { r =>
+        val (w, h, _) = codec.header(r.media)
+        val n = r.media.length
+        val outLen = math.max(16L,
+          n.toLong * (targetW.toLong * targetH) / math.max(1L, w.toLong * h))
+          .min(n.toLong).toInt
+        val out = new Array[Byte](outLen)
+        var j = 0
+        while (j < outLen) { out(j) = r.media((j.toLong * n / outLen).toInt); j += 1 }
+        ResizedMedia(r.url, w, h, targetW, targetH, outLen.toLong, codec.checksum(out))
+      }
+    }
+  }
+
   /** STUB feature extraction: fixed-dim deterministic float vector from
     * byte n-gram hashes (a real model would run batched inference here;
     * the fixed-width Array[Float] schema and partition batching are real).

@@ -122,6 +122,26 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"))
   }
 
+  test("corpus-prep chain pushes the quality gate to the scan, no product joins") {
+    val q = SparkEntry.queries("q51_corpus_prep")
+    val p = plan(q(spark, sf))
+    // the n_chars >= 100 numeric gate must reach the parquet reader
+    assert(p.contains("GreaterThanOrEqual(n_chars"),
+      s"quality filter not pushed to the documents scan:\n$p")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"prep chain degenerated to a product join:\n$p")
+  }
+
+  test("prediction import restructures with equi-operations only") {
+    val q = SparkEntry.queries("q48_pred_import")
+    val p = plan(q(spark, sf))
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"importer regrouping degenerated to a product join:\n$p")
+    // exactly one running-count window keyed on the line (plus the
+    // line-conf window) — no per-char self-joins
+    assert(!p.contains("SortMergeJoin"), s"unexpected SMJ in importer plan:\n$p")
+  }
+
   test("trigram frequency join broadcasts the LM side") {
     val q = SparkEntry.queries("q33_trigram_freq")
     val p = plan(q(spark, sf))

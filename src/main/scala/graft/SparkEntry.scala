@@ -674,17 +674,19 @@ object SparkEntry {
     // ordering (d2, cid) gives the d2-asc/cid-asc tie rule for free. Only
     // the probe→cell equi-join and the final tiny top-k window shuffle.
     "q40_ann_ivf" -> ((s, dir) => {
+      graft.functions.CosineSim.register(s) // registers graft_cosine + graft_sqdist
       val emb = t(s, dir, "embeddings").select(col("vec_id"),
         expr("transform(embedding, x -> cast(x as double))").as("v"))
       val k = math.max(8L, math.ceil(math.sqrt(t(s, dir, "embeddings").count().toDouble)).toLong)
       val centArr = emb.filter(col("vec_id") < k)
         .agg(sort_array(collect_list(struct(col("vec_id").as("cid"), col("v").as("cv"))))
           .as("cents"))
-      // per-centroid squared distance, ranked row-locally
+      // per-centroid squared distance, ranked row-locally; the inner fold
+      // is the codegen'd graft_sqdist kernel (same left-fold order as the
+      // aggregate/zip_with HOF it replaced)
       val dists = expr(
         """array_sort(transform(cents, c -> struct(
-          |  aggregate(zip_with(v, c.cv, (x, y) -> (x - y) * (x - y)),
-          |            cast(0 as double), (acc, x) -> acc + x) AS d2,
+          |  graft_sqdist(v, c.cv) AS d2,
           |  c.cid AS cid)))""".stripMargin)
       val assigned = emb.crossJoin(broadcast(centArr)).withColumn("ds", dists)
         .select(col("vec_id"), col("v"), expr("ds[0].cid").as("cid"))

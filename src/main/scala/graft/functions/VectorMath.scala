@@ -47,6 +47,21 @@ object VecKernel {
     }
     dot / (math.sqrt(na) * math.sqrt(nb))
   }
+
+  /** Squared euclidean distance — same left-fold order as
+    * `aggregate(zip_with(a, b, (x,y) -> (x-y)*(x-y)), 0, +)`.
+    */
+  def sqDistD(a: ArrayData, b: ArrayData): Double = {
+    val n = math.min(a.numElements(), b.numElements())
+    var s = 0.0
+    var i = 0
+    while (i < n) {
+      val d = a.getDouble(i) - b.getDouble(i)
+      s += d * d
+      i += 1
+    }
+    s
+  }
 }
 
 /** Catalyst expression `graft_cosine(a, b)` over ARRAY<FLOAT> columns —
@@ -96,9 +111,47 @@ object CosineSim {
   /** Per-session SQL registration, so `expr("graft_cosine(a, b)")` works
     * (same injection point as BoundedLevenshtein).
     */
-  def register(spark: org.apache.spark.sql.SparkSession): Unit =
+  def register(spark: org.apache.spark.sql.SparkSession): Unit = {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "graft_cosine",
       (children: Seq[Expression]) => CosineSim(children(0), children(1)),
       "scala_udf")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "graft_sqdist",
+      (children: Seq[Expression]) => SqDist(children(0), children(1)),
+      "scala_udf")
+  }
+}
+
+/** Catalyst expression `graft_sqdist(a, b)` over ARRAY<DOUBLE> — the IVF
+  * centroid-distance hot loop (q40), codegen-compatible and usable inside
+  * SQL lambda bodies (`transform(cents, c -> graft_sqdist(v, c.cv))`).
+  */
+case class SqDist(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  private def isDoubleArray(t: DataType): Boolean = t match {
+    case ArrayType(DoubleType, _) => true
+    case _ => false
+  }
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (isDoubleArray(left.dataType) && isDoubleArray(right.dataType))
+      TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"graft_sqdist expects (array<double>, array<double>), got " +
+        s"(${left.dataType}, ${right.dataType})")
+
+  override def dataType: DataType = DoubleType
+
+  override protected def nullSafeEval(a: Any, b: Any): Any =
+    VecKernel.sqDistD(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b) =>
+      s"graft.functions.VecKernel.sqDistD($a, $b)")
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): SqDist =
+    copy(left = newLeft, right = newRight)
 }

@@ -22,10 +22,10 @@ object VectorOps {
     val cents = centroids.sortBy(_._1)
     val centDf = cents.map { case (cid, cv) => (cid, cv.toSeq) }.toDF("cid", "cv")
       .agg(F.sort_array(F.collect_list(F.struct(F.col("cid"), F.col("cv")))).as("cents"))
+    graft.functions.CosineSim.register(spark) // graft_sqdist for the inner fold
     val dists = F.expr(
       """array_sort(transform(cents, c -> struct(
-        |  aggregate(zip_with(v, c.cv, (x, y) -> (x - y) * (x - y)),
-        |            cast(0 as double), (acc, x) -> acc + x) AS d2,
+        |  graft_sqdist(v, c.cv) AS d2,
         |  c.cid AS cid)))""".stripMargin)
     val assigned = emb.crossJoin(F.broadcast(centDf))
       .withColumn("cid", dists.getItem(0).getField("cid"))
@@ -46,12 +46,11 @@ object VectorOps {
     */
   def sse(emb: DataFrame, centroids: Seq[(Int, Array[Double])]): Double = {
     import emb.sparkSession.implicits._
+    graft.functions.CosineSim.register(emb.sparkSession)
     val centDf = centroids.map { case (cid, cv) => (cid, cv.toSeq) }.toDF("cid", "cv")
       .agg(F.sort_array(F.collect_list(F.struct(F.col("cid"), F.col("cv")))).as("cents"))
     val minD2 = F.expr(
-      """array_min(transform(cents, c ->
-        |  aggregate(zip_with(v, c.cv, (x, y) -> (x - y) * (x - y)),
-        |            cast(0 as double), (acc, x) -> acc + x)))""".stripMargin)
+      """array_min(transform(cents, c -> graft_sqdist(v, c.cv)))""".stripMargin)
     emb.crossJoin(F.broadcast(centDf))
       .agg(F.sum(minD2)).collect()(0).getDouble(0)
   }

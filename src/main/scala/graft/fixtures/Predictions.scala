@@ -21,6 +21,11 @@ object Predictions {
   def charProb(url: String, lineId: Int, k: Int): Double =
     0.5 + (math.abs((url + "#" + lineId + "#" + k).hashCode) % 50) / 100.0
 
+  /** PRECONDITION: `text` is single-space tokenized (no consecutive
+    * spaces) — the importer's char loop emits empty words between
+    * adjacent spaces while the relational regrouping emits none; the
+    * fixture corpus satisfies this by construction.
+    */
   def lineJson(url: String, lineId: Int, text: String): String = {
     val positions = text.zipWithIndex.map { case (c, k) =>
       val ch = c match {

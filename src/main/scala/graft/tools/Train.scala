@@ -208,8 +208,11 @@ object Train {
     def logit(p: Double): Double = math.log(p / (1.0 - p))
     val dmW = dmY.map(y => if (y == 1.0) 8.0 else 1.0).toArray
     val dm0 = fitLogistic(dmX.toArray, dmY.toArray, weights = dmW)
+    // clamp away from 1.0: a fully-saturated weakest positive would give
+    // logit = +inf and poison the bias shift
     val posMin = dmX.indices.filter(dmY(_) == 1.0)
-      .map(i => Corrector.sigmoid(Corrector.dot(dmX(i), dm0.w, dm0.bias))).min
+      .map(i => Corrector.sigmoid(Corrector.dot(dmX(i), dm0.w, dm0.bias)))
+      .min.min(1.0 - 1e-12)
     val dm = dm0.copy(bias = dm0.bias + (logit(0.70) - logit(posMin)))
     // the calibrated head must be loss-free on true corrections AND still
     // discriminate: a constant fit means the veto never (or always) fires

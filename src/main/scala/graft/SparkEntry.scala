@@ -33,6 +33,25 @@ object SparkEntry {
     * PlanAuditSpec). Pairs dropped in a hot band can still collide in one
     * of the other 3 bands.
     */
+  /** Two-lane commutative multiset fingerprint columns (fp1, fp2) over
+    * `text` — the exact-dedup key shared by q15 and q51. Lane i sums
+    * 48-bit md5 slices (chars 1-12 / 13-24) mod a distinct ~2^61/2^60
+    * prime, reducing mod p at every addition step (a < p, x < 2^48, so
+    * a + x never overflows int64). Modular addition is commutative and
+    * map-side combinable; the pair key lives in a ~2^121 space, so at
+    * 10^12 docs the birthday collision mass is ~10^24 * 2^-121 ~= 4e-13.
+    */
+  private def withFingerprintLanes(docs: DataFrame): DataFrame = {
+    def lane(from: Int, p: String) =
+      s"""aggregate(
+         |  transform(split(text, ' '),
+         |    t -> cast(conv(substring(md5(to_binary(t, 'utf-8')), $from, 12), 16, 10) as bigint)),
+         |  cast(0 as bigint), (a, x) -> pmod(a + x, ${p}L))""".stripMargin
+    docs
+      .withColumn("fp1", expr(lane(1, "2305843009213693951")))
+      .withColumn("fp2", expr(lane(13, "1152921504606846883")))
+  }
+
   private def minhashBandPairs(docs: DataFrame): DataFrame = {
     def md5s(c: Column): Column = md5(to_binary(c, lit("utf-8")))
     val shingles = docs.select(col("doc_id"),
@@ -302,15 +321,8 @@ object SparkEntry {
       val surv0 = t(s, dir, "documents")
         .filter(col("n_chars") >= 100 && awl.between(4.0, 8.0))
         .select(col("doc_id"), col("source"), col("text"))
-      def lane(from: Int, p: String) =
-        s"""aggregate(
-           |  transform(split(text, ' '),
-           |    t -> cast(conv(substring(md5(to_binary(t, 'utf-8')), $from, 12), 16, 10) as bigint)),
-           |  cast(0 as bigint), (a, x) -> pmod(a + x, ${p}L))""".stripMargin
       val wFp = Window.partitionBy(col("fp1"), col("fp2"))
-      val ex = surv0
-        .withColumn("fp1", expr(lane(1, "2305843009213693951")))
-        .withColumn("fp2", expr(lane(13, "1152921504606846883")))
+      val ex = withFingerprintLanes(surv0)
         .withColumn("keeper", min(col("doc_id")).over(wFp))
         .filter(col("doc_id") === col("keeper"))
         .select(col("doc_id"), col("source"), col("text"))
@@ -474,24 +486,12 @@ object SparkEntry {
 
     // ---- training-data ops: deduplication ----
 
-    // exact dedup on the word MULTISET (hash-groupBy). Fingerprint is a
-    // commutative multiset hash over TWO independent lanes: lane i sums
-    // 48-bit md5 slices (chars 1-12 / 13-24) mod a distinct ~2^61/2^60
-    // prime, reducing mod p at every addition step (a < p, x < 2^48, so
-    // a + x never overflows int64). Modular addition is commutative and
-    // map-side combinable; the pair key lives in a ~2^121 space, so at
-    // 10^12 docs the birthday collision mass is ~10^24 * 2^-121 ~= 4e-13
-    // — negligible false-merge probability (the round-2 guard was a
-    // single ~2^30 lane, which the pigeonhole breaks at that scale).
+    // exact dedup on the word MULTISET (hash-groupBy) via the shared
+    // two-lane commutative fingerprint (see withFingerprintLanes — the
+    // round-2 guard was a single ~2^30 lane, which the pigeonhole breaks
+    // at 10^12 docs)
     "q15_dedup_exact" -> ((s, dir) => {
-      def lane(from: Int, p: String) =
-        s"""aggregate(
-           |  transform(split(text, ' '),
-           |    t -> cast(conv(substring(md5(to_binary(t, 'utf-8')), $from, 12), 16, 10) as bigint)),
-           |  cast(0 as bigint), (a, x) -> pmod(a + x, ${p}L))""".stripMargin
-      t(s, dir, "documents")
-        .withColumn("fp1", expr(lane(1, "2305843009213693951")))
-        .withColumn("fp2", expr(lane(13, "1152921504606846883")))
+      withFingerprintLanes(t(s, dir, "documents"))
         .groupBy(col("fp1"), col("fp2"))
         .agg(min(col("doc_id")).as("keeper"), count(lit(1)).as("n_dups"))
         .filter(col("n_dups") >= 1)
@@ -697,7 +697,6 @@ object SparkEntry {
         .crossJoin(broadcast(centArr)).withColumn("ds", dists)
         .select(col("vec_id").as("qid"), col("v").as("qv"),
           explode(expr("transform(slice(ds, 1, 2), x -> x.cid)")).as("cid"))
-      graft.functions.CosineSim.register(s)
       val wQ = Window.partitionBy(col("qid"))
         .orderBy(col("cos_r").desc, col("vec_id").asc)
       probes.join(assigned, Seq("cid"))

@@ -20,47 +20,57 @@ object VecKernel {
   /** cosine(a, b) = dot / (sqrt(na) * sqrt(nb)); 0-length or zero-norm
     * inputs yield NaN exactly like the HOF division does. Float inputs
     * widen per element — bitwise the same as casting the whole array to
-    * double first.
+    * double first. Returns NULL (boxed) for ragged lengths or null
+    * elements, matching the HOF semantics too: `zip_with` pads the
+    * shorter array with nulls and a null element null-poisons the fold,
+    * so `aggregate(zip_with(...))` returned NULL in both cases.
     */
-  def cosineF(a: ArrayData, b: ArrayData): Double = {
-    val n = math.min(a.numElements(), b.numElements())
+  def cosineF(a: ArrayData, b: ArrayData): java.lang.Double = {
+    val n = a.numElements()
+    if (n != b.numElements()) return null
     var dot = 0.0; var na = 0.0; var nb = 0.0
     var i = 0
     while (i < n) {
+      if (a.isNullAt(i) || b.isNullAt(i)) return null
       val x = a.getFloat(i).toDouble
       val y = b.getFloat(i).toDouble
       dot += x * y; na += x * x; nb += y * y
       i += 1
     }
-    dot / (math.sqrt(na) * math.sqrt(nb))
+    java.lang.Double.valueOf(dot / (math.sqrt(na) * math.sqrt(nb)))
   }
 
-  def cosineD(a: ArrayData, b: ArrayData): Double = {
-    val n = math.min(a.numElements(), b.numElements())
+  def cosineD(a: ArrayData, b: ArrayData): java.lang.Double = {
+    val n = a.numElements()
+    if (n != b.numElements()) return null
     var dot = 0.0; var na = 0.0; var nb = 0.0
     var i = 0
     while (i < n) {
+      if (a.isNullAt(i) || b.isNullAt(i)) return null
       val x = a.getDouble(i)
       val y = b.getDouble(i)
       dot += x * y; na += x * x; nb += y * y
       i += 1
     }
-    dot / (math.sqrt(na) * math.sqrt(nb))
+    java.lang.Double.valueOf(dot / (math.sqrt(na) * math.sqrt(nb)))
   }
 
-  /** Squared euclidean distance — same left-fold order as
+  /** Squared euclidean distance — same left-fold order (and NULL
+    * semantics, see [[cosineF]]) as
     * `aggregate(zip_with(a, b, (x,y) -> (x-y)*(x-y)), 0, +)`.
     */
-  def sqDistD(a: ArrayData, b: ArrayData): Double = {
-    val n = math.min(a.numElements(), b.numElements())
+  def sqDistD(a: ArrayData, b: ArrayData): java.lang.Double = {
+    val n = a.numElements()
+    if (n != b.numElements()) return null
     var s = 0.0
     var i = 0
     while (i < n) {
+      if (a.isNullAt(i) || b.isNullAt(i)) return null
       val d = a.getDouble(i) - b.getDouble(i)
       s += d * d
       i += 1
     }
-    s
+    java.lang.Double.valueOf(s)
   }
 }
 
@@ -86,6 +96,9 @@ case class CosineSim(left: Expression, right: Expression)
 
   override def dataType: DataType = DoubleType
 
+  // NULL also arises from non-null inputs (ragged lengths, null elements)
+  override def nullable: Boolean = true
+
   @transient private lazy val isFloat: Boolean = left.dataType match {
     case ArrayType(FloatType, _) => true
     case _ => false
@@ -99,8 +112,12 @@ case class CosineSim(left: Expression, right: Expression)
       VecKernel.cosineD(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
-    defineCodeGen(ctx, ev, (a, b) =>
-      s"graft.functions.VecKernel.$kernel($a, $b)")
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val r = ctx.freshName("cosR")
+      s"""java.lang.Double $r = graft.functions.VecKernel.$kernel($a, $b);
+         |if ($r == null) { ${ev.isNull} = true; }
+         |else { ${ev.value} = $r.doubleValue(); }""".stripMargin
+    })
 
   override protected def withNewChildrenInternal(
       newLeft: Expression, newRight: Expression): CosineSim =
@@ -144,12 +161,19 @@ case class SqDist(left: Expression, right: Expression)
 
   override def dataType: DataType = DoubleType
 
+  // NULL also arises from non-null inputs (ragged lengths, null elements)
+  override def nullable: Boolean = true
+
   override protected def nullSafeEval(a: Any, b: Any): Any =
     VecKernel.sqDistD(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
-    defineCodeGen(ctx, ev, (a, b) =>
-      s"graft.functions.VecKernel.sqDistD($a, $b)")
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val r = ctx.freshName("sqD")
+      s"""java.lang.Double $r = graft.functions.VecKernel.sqDistD($a, $b);
+         |if ($r == null) { ${ev.isNull} = true; }
+         |else { ${ev.value} = $r.doubleValue(); }""".stripMargin
+    })
 
   override protected def withNewChildrenInternal(
       newLeft: Expression, newRight: Expression): SqDist =

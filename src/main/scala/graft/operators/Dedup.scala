@@ -92,9 +92,12 @@ object Dedup {
       s"connectedComponents did not converge within $maxRounds rounds — " +
         "graph diameter exceeds the bound; raise maxRounds")
     // isolated vertices = singleton components, attached without ever
-    // entering the propagation loop
+    // entering the propagation loop. Anti-join against the CHECKPOINTED
+    // labels (whose id set == the edge endpoints), not against sym:
+    // sym is unpersisted here, and a lazy reference to it would recompute
+    // the entire edge-derivation pipeline when the caller finally acts.
     val isolated = vertices.select(col("id"))
-      .join(sym.select(col("src").as("id")).distinct(), Seq("id"), "left_anti")
+      .join(labels.select(col("id")), Seq("id"), "left_anti")
       .withColumn("comp", col("id"))
     sym.unpersist()
     labels.union(isolated)

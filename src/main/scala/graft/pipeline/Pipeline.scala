@@ -197,32 +197,50 @@ object Pipeline {
 
   // ---- Stage D: correction ----
 
+  /** Per-token Corrector inputs of one aligned line. */
+  final case class TokenInput(tok: String, ctx: Seq[String], wordConf: Double,
+      glyphConfs: Seq[Double], linePos: Double, lineOverlap: Double)
+
+  /** THE single derivation of the per-token argument tuple every consumer
+    * — production correction ([[correctPage]]), the dynamic lexicon
+    * ([[dynamicLexicon]]), head evaluation ([[headEval]]) and training
+    * example collection (tools.Train) — feeds to the decision chain.
+    * Sharing it makes "evaluation/training replay the production control
+    * flow" true by construction, not by parallel copies staying in sync.
+    *
+    * lineOverlap is LineOverlapWithMasterOCR: best normalized similarity
+    * of a support line against the master line; ctx/conf/glyph lineage
+    * come from the aligned words when available.
+    */
+  def tokenInputs(line: AlignedLine): IndexedSeq[TokenInput] = {
+    val master = line.variants.head
+    val tokens = master.text.split(" ", -1).toIndexedSeq
+    val lineOverlap = line.variants.drop(1).map { v =>
+      val mx = math.max(master.text.length, v.text.length).max(1)
+      1.0 - Edist.levenshtein(master.text, v.text).toDouble / mx
+    }.maxOption.getOrElse(1.0)
+    val wordByIdx: Map[Int, AlignedWord] =
+      line.words.zipWithIndex.map { case (w, i) => i -> w }.toMap
+    tokens.zipWithIndex.map { case (tok, i) =>
+      val word = wordByIdx.get(i)
+      TokenInput(tok,
+        word.map(_.variants.drop(1).map(_.text)).getOrElse(Nil),
+        word.map(_.variants.head.conf).getOrElse(master.conf),
+        word.map(_.glyphConfs).getOrElse(Nil),
+        if (tokens.length <= 1) 0.0 else i.toDouble / (tokens.length - 1),
+        lineOverlap)
+    }
+  }
+
   def correctPage(ap: AlignedPage, lexDe: Lexicon, lexEn: Lexicon,
       runLE: Boolean = true): CorrectedPage = {
     val lex = if (ap.lang == "de") lexDe else lexEn
     var total = 0
     val corrected = ap.lines.map { line =>
-      val master = line.variants.head
-      val tokens = master.text.split(" ", -1).toIndexedSeq
-      // LineOverlapWithMasterOCR: best normalized similarity of a support
-      // line against the master line
-      val lineOverlap = line.variants.drop(1).map { v =>
-        val mx = math.max(master.text.length, v.text.length).max(1)
-        1.0 - Edist.levenshtein(master.text, v.text).toDouble / mx
-      }.maxOption.getOrElse(1.0)
-      // per-token view of what the other extractors saw + the word/glyph
-      // confidence lineage, via the aligned words when available
-      val wordByIdx: Map[Int, AlignedWord] =
-        line.words.zipWithIndex.map { case (w, i) => i -> w }.toMap
       var n = 0
-      val out = tokens.zipWithIndex.map { case (tok, i) =>
-        val word = wordByIdx.get(i)
-        val ctx = word.map(_.variants.drop(1).map(_.text)).getOrElse(Nil)
-        val wordConf = word.map(_.variants.head.conf).getOrElse(master.conf)
-        val glyphs = word.map(_.glyphConfs).getOrElse(Nil)
-        val linePos = if (tokens.length <= 1) 0.0 else i.toDouble / (tokens.length - 1)
-        val (fixed, changed) = Corrector.correctToken(
-          tok, ctx, wordConf, glyphs, linePos, lineOverlap, lex, runLE)
+      val out = tokenInputs(line).map { ti =>
+        val (fixed, changed) = Corrector.correctToken(ti.tok, ti.ctx,
+          ti.wordConf, ti.glyphConfs, ti.linePos, ti.lineOverlap, lex, runLE)
         if (changed) n += 1
         fixed
       }
@@ -276,20 +294,9 @@ object Pipeline {
     aligned.flatMap { ap =>
       val lex = if (ap.lang == "de") bde.value else ben.value
       ap.lines.flatMap { line =>
-        val master = line.variants.head
-        val tokens = master.text.split(" ", -1).toIndexedSeq
-        val lineOverlap = line.variants.drop(1).map { v =>
-          val mx = math.max(master.text.length, v.text.length).max(1)
-          1.0 - Edist.levenshtein(master.text, v.text).toDouble / mx
-        }.maxOption.getOrElse(1.0)
-        val wordByIdx = line.words.zipWithIndex.map { case (w, i) => i -> w }.toMap
-        tokens.zipWithIndex.flatMap { case (tok, i) =>
-          val word = wordByIdx.get(i)
-          val linePos = if (tokens.length <= 1) 0.0 else i.toDouble / (tokens.length - 1)
-          Corrector.contextOf(tok,
-            word.map(_.variants.drop(1).map(_.text)).getOrElse(Nil),
-            word.map(_.variants.head.conf).getOrElse(master.conf),
-            word.map(_.glyphConfs).getOrElse(Nil), linePos, lineOverlap)
+        tokenInputs(line).flatMap { ti =>
+          Corrector.contextOf(ti.tok, ti.ctx, ti.wordConf, ti.glyphConfs,
+            ti.linePos, ti.lineOverlap)
             .filter(t => !lex.contains(t.token) &&
               Corrector.leScore(t, Profiler.candidates(t.token, lex), lex) > 0.5)
             .map(t => (ap.lang, t.token))
@@ -351,24 +358,13 @@ object Pipeline {
       val i = ap.url.substring(ap.url.lastIndexOf('p') + 1).toLong
       val golden = PagesGen.page(i).trueText.split("\n")
       ap.lines.zip(golden.toSeq).flatMap { case (line, gLine) =>
-        val master = line.variants.head
-        val tokens = master.text.split(" ", -1).toIndexedSeq
         val gTokens = gLine.split(" ", -1).toIndexedSeq
-        val lineOverlap = line.variants.drop(1).map { v =>
-          val mx = math.max(master.text.length, v.text.length).max(1)
-          1.0 - Edist.levenshtein(master.text, v.text).toDouble / mx
-        }.maxOption.getOrElse(1.0)
-        val wordByIdx = line.words.zipWithIndex.map { case (w, k) => k -> w }.toMap
-        tokens.zipWithIndex.map { case (tok, k) =>
-          val word = wordByIdx.get(k)
-          val linePos = if (tokens.length <= 1) 0.0 else k.toDouble / (tokens.length - 1)
-          val (applied, outcome) = Corrector.classifyToken(tok,
-            word.map(_.variants.drop(1).map(_.text)).getOrElse(Nil),
-            word.map(_.variants.head.conf).getOrElse(master.conf),
-            word.map(_.glyphConfs).getOrElse(Nil), linePos, lineOverlap,
+        tokenInputs(line).zipWithIndex.map { case (ti, k) =>
+          val (applied, outcome) = Corrector.classifyToken(ti.tok, ti.ctx,
+            ti.wordConf, ti.glyphConfs, ti.linePos, ti.lineOverlap,
             lex, runLE = true)
           val truth = gTokens.lift(k).getOrElse("")
-          (outcome, tok == truth, applied == truth)
+          (outcome, ti.tok == truth, applied == truth)
         }
       }
     }.toDF("outcome", "clean", "fixed")

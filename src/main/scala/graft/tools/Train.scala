@@ -99,24 +99,15 @@ object Train {
       val i = ap.url.substring(ap.url.lastIndexOf('p') + 1).toLong
       val golden = PagesGen.page(i).trueText.split("\n")
       ap.lines.zip(golden.toSeq).flatMap { case (line, gLine) =>
-        val master = line.variants.head
-        val tokens = master.text.split(" ", -1).toIndexedSeq
         val gTokens = gLine.split(" ", -1).toIndexedSeq
-        val lineOverlap = line.variants.drop(1).map { v =>
-          val mx = math.max(master.text.length, v.text.length).max(1)
-          1.0 - Edist.levenshtein(master.text, v.text).toDouble / mx
-        }.maxOption.getOrElse(1.0)
-        val wordByIdx = line.words.zipWithIndex.map { case (w, k) => k -> w }.toMap
-        tokens.zipWithIndex.flatMap { case (tok, k) =>
-          val word = wordByIdx.get(k)
-          val linePos = if (tokens.length <= 1) 0.0 else k.toDouble / (tokens.length - 1)
+        // the per-token argument tuple comes from the SAME derivation the
+        // production corrector uses (Pipeline.tokenInputs)
+        Pipeline.tokenInputs(line).zipWithIndex.flatMap { case (ti, k) =>
           val truth = gTokens.lift(k).getOrElse("")
             .dropWhile(!_.isLetterOrDigit).reverse.dropWhile(!_.isLetterOrDigit)
             .reverse.toLowerCase
-          Corrector.contextOf(tok,
-            word.map(_.variants.drop(1).map(_.text)).getOrElse(Nil),
-            word.map(_.variants.head.conf).getOrElse(master.conf),
-            word.map(_.glyphConfs).getOrElse(Nil), linePos, lineOverlap)
+          Corrector.contextOf(ti.tok, ti.ctx, ti.wordConf, ti.glyphConfs,
+            ti.linePos, ti.lineOverlap)
             .map(t => TokenEx(t, truth, ap.lang))
         }
       }

@@ -81,6 +81,19 @@ class FunctionsSpec extends AnyFunSuite {
     }
   }
 
+  test("graft_cosine/graft_sqdist return NULL for ragged or null-element arrays, like the HOFs") {
+    graft.functions.CosineSim.register(spark)
+    val r = spark.sql(
+      """SELECT
+        |  graft_cosine(array(1.0D, 2.0D), array(1.0D)) AS ragged,
+        |  graft_cosine(array(1.0D, cast(null as double)), array(1.0D, 2.0D)) AS nullelem,
+        |  graft_sqdist(array(1.0D, 2.0D), array(1.0D)) AS raggedsq,
+        |  aggregate(zip_with(array(1.0D, 2.0D), array(1.0D), (x, y) -> x * y),
+        |            cast(0 as double), (acc, x) -> acc + x) AS hof_ref""".stripMargin)
+      .collect()(0)
+    (0 to 3).foreach(i => assert(r.isNullAt(i), s"col $i should be NULL"))
+  }
+
   test("graft_cosine stays inside whole-stage codegen over a parquet scan") {
     graft.functions.CosineSim.register(spark)
     val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")

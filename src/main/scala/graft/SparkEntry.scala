@@ -770,7 +770,12 @@ object SparkEntry {
           "transform(sequence(1, greatest(length(text) - 2, 1)), i -> substring(text, i, 3))"
         )).as("g"))
       val freq = tri.groupBy(col("g")).agg(count(lit(1)).as("f"))
-      tri.join(broadcast(freq), Seq("g"))
+      // min/max over a doc's trigram SET equals over its multiset, so the
+      // probe side dedupes (doc_id, g) before the broadcast-LM join —
+      // repeated trigrams within a doc (most of them, in natural text)
+      // never reach the join
+      tri.dropDuplicates("doc_id", "g")
+        .join(broadcast(freq), Seq("g"))
         .groupBy(col("doc_id"))
         .agg(min(col("f")).as("min_f"), max(col("f")).as("max_f"))
         .orderBy(col("doc_id"))

@@ -30,29 +30,46 @@ object Bench {
     // ---- headline: e2e extract+correct docs/sec ----
     // warmup at FULL size (C2 JIT across all executor threads needs real
     // volume; a small warmup understates steady state ~10x — see
-    // tools/StageBench), then best-of-3 timed reps to shed GC/JIT noise
+    // tools/StageBench), then timed reps spread across the whole run so a
+    // transient noisy-neighbor episode cannot capture every rep (r3's
+    // driver run hit one that lasted the entire headline phase)
     def oneRun(): Long =
       Pipeline.run(Pipeline.generate(spark, nDocs, partitions = cpus.toInt * 4)).count()
-    oneRun()
-    // best-of-5: this host stalls for whole seconds under noisy
-    // neighbors; the min is the undisturbed measurement
-    val (pipelineSec, done) = (1 to 5).map { _ =>
+    def timeRun(): (Double, Long) = {
       val t0 = System.nanoTime()
       val c = oneRun()
       ((System.nanoTime() - t0) / 1e9, c)
-    }.minBy(_._1)
-    val docsPerSec = done / pipelineSec
+    }
+    oneRun()
+    // first batch of reps: the min is the undisturbed measurement
+    val early = (1 to 3).map(_ => timeRun())
 
     // ---- per-operator query timings over the sf dir ----
+    // Protocol (VERDICT r3 #1): one untimed warm pass (codegen + shuffle
+    // files + page cache), then TWO timed passes over the full query list,
+    // per-query min. Interleaving the passes means a multi-second drift
+    // spike at query i in pass 1 would have to recur at the same query in
+    // pass 2, minutes later, to survive into the artifact.
     // (skipped in pipeline-only mode, used by the scaling runs where only
     // the headline docs/sec matters)
     val pipelineOnly = sys.env.get("SPARK_GRAFT_PIPELINE_ONLY").contains("1")
     val allQueries = if (pipelineOnly) Seq.empty else SparkEntry.queries.toSeq.sortBy(_._1)
-    val results = allQueries.map { case (name, fn) =>
+    def timeQuery(fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Double = {
       val t = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      name -> (System.nanoTime() - t) / 1e9
+      try { fn(spark, sfDir).count() } catch { case _: Throwable => () }
+      (System.nanoTime() - t) / 1e9
     }
+    allQueries.foreach { case (_, fn) => timeQuery(fn) } // warm, untimed
+    val pass1 = allQueries.map { case (name, fn) => name -> timeQuery(fn) }
+    val pass2 = allQueries.map { case (name, fn) => name -> timeQuery(fn) }.toMap
+    val results = pass1.map { case (name, t1) => name -> math.min(t1, pass2(name)) }
+
+    // late headline reps (several minutes after the early batch when the
+    // query passes ran); overall min across both batches is the headline
+    val late = (1 to 2).map(_ => timeRun())
+    val (pipelineSec, done) = (early ++ late).minBy(_._1)
+    val docsPerSec = done / pipelineSec
+
     val qs = (results :+ ("pipeline_e2e" -> pipelineSec))
       .map { case (k, v) => "\"" + k + f"\":$v%.3f" }
       .mkString("{", ",", "}")

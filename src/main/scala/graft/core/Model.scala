@@ -21,6 +21,14 @@ final case class PageRow(
     lang: String
 )
 
+/** One row of a ground-truth table: full golden text for a url — the
+  * relational analog of the reference's GT file group
+  * (run_training_test.bash:21-31). Training/eval join on `url` against a
+  * table of this shape; any GT corpus written as (url, golden) parquet
+  * plugs into Train/headEval unchanged.
+  */
+final case class GoldenPage(url: String, golden: String)
+
 /** Byte span into the original `html` column — the character-span lineage
   * analog of the reference's Coords polygons (div/importer.py:41-45).
   */

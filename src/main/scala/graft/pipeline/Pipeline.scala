@@ -68,9 +68,16 @@ object Pipeline {
 
   // ---- Stage B+C: variants + alignment (row-local) ----
 
-  def alignPage(sp: SegmentedPage): AlignedPage = {
+  def alignPage(sp: SegmentedPage): AlignedPage = alignPage(sp, extractors)
+
+  /** k-ary variant: the aligner itself is k-extractor-generic
+    * (align/cli.py:35-38 accepts k input file groups); production wires
+    * [[extractors]] (k=2), tests exercise k=3 to pin the index/provenance
+    * rules at arity > 2.
+    */
+  def alignPage(sp: SegmentedPage, exs: Seq[Extractor]): AlignedPage = {
     val lines = sp.blocks.filter(_.kind == "text").map { b =>
-      val versions = extractors.map { ex =>
+      val versions = exs.map { ex =>
         val txt = TextNorm.normalize(ex.transform(b.text))
         val wcc = ConfSurrogate.wordCharConfs(ex.name, sp.url, b.id, txt, ex.base)
         val wc = wcc.map(MultiAlign.confFold)
@@ -82,9 +89,11 @@ object Pipeline {
     AlignedPage(sp.url, sp.lang, lines)
   }
 
-  def align(seg: Dataset[SegmentedPage]): Dataset[AlignedPage] = {
+  def align(seg: Dataset[SegmentedPage]): Dataset[AlignedPage] = align(seg, extractors)
+
+  def align(seg: Dataset[SegmentedPage], exs: Seq[Extractor]): Dataset[AlignedPage] = {
     import seg.sparkSession.implicits._
-    seg.map(alignPage)
+    seg.map(sp => alignPage(sp, exs))
   }
 
   /** One extractor's reading of one line — the row shape of the SHUFFLE
@@ -105,10 +114,13 @@ object Pipeline {
     * when extractors really are separate jobs; the fused [[align]] is the
     * zero-shuffle path when all k variants derive from the same row.
     */
-  def alignShuffled(pages: Dataset[PageRow]): Dataset[AlignedPage] = {
+  def alignShuffled(pages: Dataset[PageRow]): Dataset[AlignedPage] =
+    alignShuffled(pages, extractors)
+
+  def alignShuffled(pages: Dataset[PageRow], exs: Seq[Extractor]): Dataset[AlignedPage] = {
     val spark = pages.sparkSession
     import spark.implicits._
-    val readings = extractors.zipWithIndex.map { case (ex, i) =>
+    val readings = exs.zipWithIndex.map { case (ex, i) =>
       segment(pages).flatMap { sp =>
         sp.blocks.filter(_.kind == "text").map { b =>
           val txt = TextNorm.normalize(ex.transform(b.text))
@@ -125,7 +137,7 @@ object Pipeline {
       val lines = rows.groupBy(_.lineId).toSeq.sortBy(_._1).map { case (_, rs) =>
         val sorted = rs.sortBy(_.exIdx)
         val versions = sorted.map { r =>
-          MultiAlign.LineVersion(extractors(r.exIdx).name, r.lineId, r.text,
+          MultiAlign.LineVersion(exs(r.exIdx).name, r.lineId, r.text,
             r.lineConf, r.wordConfs.toIndexedSeq, r.wordCharConfs.toIndexedSeq)
         }
         MultiAlign.alignLine(versions, Span(sorted.head.spanStart, sorted.head.spanStop))
@@ -136,22 +148,43 @@ object Pipeline {
 
   // ---- profile learning (train path) ----
 
+  /** Ground-truth table: full golden text per url — the role of the
+    * reference's GT file group (run_training_test.bash:21-31 trains on an
+    * arbitrary GT-annotated workspace). Training and evaluation resolve
+    * golden text by JOINING on url against a table of this shape, so any
+    * GT corpus written as (url, golden) parquet plugs in; this generator
+    * builds the synthetic instance for tests/fixtures.
+    */
+  def goldenPages(spark: SparkSession, from: Long, n: Long,
+      seed: Long = 42L): Dataset[GoldenPage] = {
+    import spark.implicits._
+    spark.range(from, from + n).map(i =>
+      GoldenPage(PagesGen.page(i, seed).row.url, PagesGen.page(i, seed).trueText))
+  }
+
   /** (masterLine, goldenLine) training pairs through the ENGINE's extract
     * path: segment the training pages, take the text blocks in reading
     * order, zip positionally against the golden lines (the role of the
     * reference's GT-annotated training workspace,
-    * run_training_test.bash:21-31). Golden text is resolved from the page
-    * index carried in the synthetic url.
+    * run_training_test.bash:21-31). Golden text is resolved by an
+    * equi-join on url against the GT table — pages without GT fall out of
+    * the inner join (the reference likewise trains only on GT-annotated
+    * pages). One shuffle keyed on url; at GT-corpus scale AQE turns it
+    * into a broadcast.
     */
-  def trainingPairs(spark: SparkSession, n: Long): Dataset[(String, String)] = {
-    import spark.implicits._
-    generate(spark, n).flatMap { p =>
-      val i = p.url.substring(p.url.lastIndexOf('p') + 1).toLong
-      val golden = PagesGen.page(i).trueText.split("\n")
-      val masters = HtmlBlocks.segment(p.html).filter(_.kind == "text").map(_.text)
-      masters.zip(golden)
-    }
+  def trainingPairs(pages: Dataset[PageRow],
+      golden: Dataset[GoldenPage]): Dataset[(String, String)] = {
+    import pages.sparkSession.implicits._
+    pages.joinWith(golden, pages("url") === golden("url"), "inner")
+      .flatMap { case (p, g) =>
+        val masters = HtmlBlocks.segment(p.html).filter(_.kind == "text").map(_.text)
+        masters.zip(g.golden.split("\n").toSeq)
+      }
   }
+
+  /** Synthetic-corpus convenience overload (tests, learnProfile default). */
+  def trainingPairs(spark: SparkSession, n: Long): Dataset[(String, String)] =
+    trainingPairs(generate(spark, n), goldenPages(spark, 0L, n))
 
   /** A learned confusion profile: the pattern list (count-desc order) plus
     * each pattern's relative channel probability (its share of all
@@ -169,10 +202,18 @@ object Pipeline {
     * correction stage — the loop edist.py:69-83 was built to close.
     */
   def learnProfile(spark: SparkSession, n: Long = 200,
-      minCount: Long = 5, maxPatterns: Int = 10): Profile = {
+      minCount: Long = 5, maxPatterns: Int = 10): Profile =
+    learnProfile(trainingPairs(spark, n), minCount, maxPatterns)
+
+  /** Table-driven variant: learn the profile from any (masterLine,
+    * goldenLine) pair set — see [[trainingPairs]] for the GT-join shape.
+    */
+  def learnProfile(pairs: Dataset[(String, String)],
+      minCount: Long, maxPatterns: Int): Profile = {
+    val spark = pairs.sparkSession
     import spark.implicits._
     import org.apache.spark.sql.functions._
-    val top = trainingPairs(spark, n)
+    val top = pairs
       .flatMap { case (ocr, gt) => ConfusionProfile.pairsOf(ocr, gt) }
       .toDF("pat_left", "pat_right")
       .groupBy(col("pat_left"), col("pat_right")).agg(count(lit(1)).as("cnt"))
@@ -328,10 +369,13 @@ object Pipeline {
   def goldenText(i: Long, seed: Long = 42L): String = PagesGen.page(i, seed).trueText
 
   /** EvalDLE/EvalRRDM analog (aio/aio.py:17-19,514-537;
-    * run_training_test.bash:49-63): per-head outcome counts over the
-    * held-out pages [from, from+n), the evaluation report the reference
-    * produces by running its eval tools over profiled files. Every token
-    * is routed through [[graft.core.Corrector.classifyToken]] — the SAME
+    * run_training_test.bash:49-63): per-head outcome counts over a
+    * held-out page set, the evaluation report the reference produces by
+    * running its eval tools over profiled files. Golden text is resolved
+    * by JOINING the aligned pages against an explicit (url, golden) GT
+    * table — any GT corpus plugs in, not just the synthetic generator.
+    * Every token is routed through
+    * [[graft.core.Corrector.classifyToken]] — the SAME
     * control flow production correction uses — and its outcome is scored
     * against the positional golden token:
     *
@@ -347,17 +391,18 @@ object Pipeline {
     * groupBy on a 6-value key — the collect is report-sized, not
     * data-sized.
     */
-  def headEval(spark: SparkSession, from: Long, n: Long): org.apache.spark.sql.DataFrame = {
+  def headEval(spark: SparkSession, pages: Dataset[PageRow],
+      golden: Dataset[GoldenPage]): org.apache.spark.sql.DataFrame = {
     import spark.implicits._
     val profile = defaultProfile(spark)
     val bde = spark.sparkContext.broadcast(lexiconWith("de", profile))
     val ben = spark.sparkContext.broadcast(lexiconWith("en", profile))
-    val pages = spark.range(from, from + n).map(i => PagesGen.page(i).row)
-    val outcomes = align(segment(pages)).flatMap { ap =>
+    val aligned = align(segment(pages))
+    val outcomes = aligned
+      .joinWith(golden, aligned("url") === golden("url"), "inner")
+      .flatMap { case (ap, g) =>
       val lex = if (ap.lang == "de") bde.value else ben.value
-      val i = ap.url.substring(ap.url.lastIndexOf('p') + 1).toLong
-      val golden = PagesGen.page(i).trueText.split("\n")
-      ap.lines.zip(golden.toSeq).flatMap { case (line, gLine) =>
+      ap.lines.zip(g.golden.split("\n").toSeq).flatMap { case (line, gLine) =>
         val gTokens = gLine.split(" ", -1).toIndexedSeq
         tokenInputs(line).zipWithIndex.map { case (ti, k) =>
           val (applied, outcome) = Corrector.classifyToken(ti.tok, ti.ctx,
@@ -384,6 +429,17 @@ object Pipeline {
       ("rrdm", "false_vetoes", cnt((o, clean, _) => o == "dm_vetoed" && !clean)))
     spark.createDataFrame(rows).toDF("head", "metric", "n")
       .orderBy("head", "metric")
+  }
+
+  /** Synthetic-corpus overload: evaluate on held-out pages [from, from+n)
+    * with generator-derived GT (kept as the q47 fixture contract; the
+    * table-driven overload above is the production entry point).
+    */
+  def headEval(spark: SparkSession, from: Long, n: Long): org.apache.spark.sql.DataFrame = {
+    import spark.implicits._
+    headEval(spark,
+      spark.range(from, from + n).map(i => PagesGen.page(i).row),
+      goldenPages(spark, from, n))
   }
 
   /** The checkpointed pipeline: table-per-stage (the reference's file-group

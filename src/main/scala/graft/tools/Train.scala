@@ -3,7 +3,7 @@ package graft.tools
 import graft.core._
 import graft.fixtures.PagesGen
 import graft.pipeline.Pipeline
-import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.{Dataset, SparkSession}
 
 /** Trains the LE / RR / DM logistic heads on the synthetic GT corpus —
   * the re-expression of the reference's training path
@@ -33,6 +33,9 @@ object Train {
       weights: Array[Double] = null): Fit = {
     val n = xs.length
     require(n > 0, "no training examples")
+    require(weights == null || weights.length == n,
+      s"weights.length=${weights.length} != examples=$n — a mismatched " +
+        "weight vector would corrupt every gradient step")
     val wt = if (weights == null) Array.fill(n)(1.0) else weights
     val wSum = wt.sum
     val d = xs(0).length
@@ -92,13 +95,16 @@ object Train {
     * the rest of the pipeline is unaffected since only the tiny weight
     * vectors ship.
     */
-  def tokenExamples(spark: SparkSession, n: Long): Array[TokenEx] = {
+  def tokenExamples(pages: Dataset[PageRow],
+      golden: Dataset[GoldenPage]): Array[TokenEx] = {
+    val spark = pages.sparkSession
     import spark.implicits._
-    val aligned = Pipeline.align(Pipeline.segment(Pipeline.generate(spark, n)))
-    aligned.flatMap { ap =>
-      val i = ap.url.substring(ap.url.lastIndexOf('p') + 1).toLong
-      val golden = PagesGen.page(i).trueText.split("\n")
-      ap.lines.zip(golden.toSeq).flatMap { case (line, gLine) =>
+    val aligned = Pipeline.align(Pipeline.segment(pages))
+    // golden text arrives by equi-join on url (any (url, golden) GT table
+    // plugs in), never by parsing the synthetic url shape
+    aligned.joinWith(golden, aligned("url") === golden("url"), "inner")
+      .flatMap { case (ap, g) =>
+      ap.lines.zip(g.golden.split("\n").toSeq).flatMap { case (line, gLine) =>
         val gTokens = gLine.split(" ", -1).toIndexedSeq
         // the per-token argument tuple comes from the SAME derivation the
         // production corrector uses (Pipeline.tokenInputs)
@@ -117,12 +123,20 @@ object Train {
         ex.ctx.linePos, ex.ctx.conf))
   }
 
-  def train(spark: SparkSession, n: Long): TrainedModel = {
-    val profile = Pipeline.learnProfile(spark, n)
+  def tokenExamples(spark: SparkSession, n: Long): Array[TokenEx] =
+    tokenExamples(Pipeline.generate(spark, n), Pipeline.goldenPages(spark, 0L, n))
+
+  def train(spark: SparkSession, n: Long): TrainedModel =
+    train(spark, Pipeline.generate(spark, n), Pipeline.goldenPages(spark, 0L, n))
+
+  def train(spark: SparkSession, pages: Dataset[PageRow],
+      golden: Dataset[GoldenPage]): TrainedModel = {
+    val profile = Pipeline.learnProfile(
+      Pipeline.trainingPairs(pages, golden), minCount = 5, maxPatterns = 10)
     val lexs = Map(
       "de" -> Pipeline.lexiconWith("de", profile),
       "en" -> Pipeline.lexiconWith("en", profile))
-    val exs = tokenExamples(spark, n)
+    val exs = tokenExamples(pages, golden)
 
     // ---- RR: per (token, candidate), label = candidate IS the truth ----
     val rrX = scala.collection.mutable.ArrayBuffer[Array[Double]]()
@@ -249,7 +263,20 @@ object Train {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
-    val model = train(spark, nTrain)
+    // Train against a golden table that ROUND-TRIPS through parquet: the
+    // synthetic GT is written as a (url, golden) table and read back, so
+    // the training path provably consumes the same artifact shape a real
+    // GT corpus would be delivered in (run_training_test.bash:21-31 — the
+    // reference trains on an arbitrary GT file group). Point goldenPath at
+    // any GT parquet to train on real data.
+    import spark.implicits._
+    val goldenPath = sys.env.getOrElse("GRAFT_GOLDEN_PARQUET", {
+      val p = java.nio.file.Files.createTempDirectory("graft-golden").toString + "/golden.parquet"
+      Pipeline.goldenPages(spark, 0L, nTrain).write.mode("overwrite").parquet(p)
+      p
+    })
+    val golden = spark.read.parquet(goldenPath).as[graft.core.GoldenPage]
+    val model = train(spark, Pipeline.generate(spark, nTrain), golden)
     Corrector.modelOverride = Some(model) // validate with the fresh weights
     val bad = validate(spark, nTrain, nTrain + nVal)
     println(s"[train] validation: ${nVal - bad.length}/$nVal pages byte-identical")

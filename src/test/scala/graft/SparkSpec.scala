@@ -95,3 +95,63 @@ class PipelineSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(!plan.contains("Exchange"), s"unexpected shuffle:\n$plan")
   }
 }
+
+/** k=3 extractor arity — the reference accepts k input file groups
+  * (align/cli.py:35-38); production wires k=2, so these tests pin the
+  * index/provenance rules and the shuffled-path shape at arity 3, where an
+  * index-3 provenance mix-up would otherwise be invisible.
+  */
+class KAryAlignSpec extends AnyFunSuite {
+  lazy val spark: SparkSession = SparkTestSession.spark
+  val k3: Seq[Pipeline.Extractor] = Pipeline.extractors :+
+    Pipeline.Extractor("x-third", 0.7, s => s.replace("l", "1").replace("o", "0"))
+
+  test("k=3 alignPage emits index-1..3 variants with per-extractor provenance") {
+    import spark.implicits._
+    val aligned = Pipeline.align(
+      Pipeline.segment(Pipeline.generate(spark, 5)), k3).collect()
+    val lines = aligned.flatMap(_.lines)
+    assert(lines.nonEmpty)
+    lines.foreach { line =>
+      // line level: exactly k variants, 1-based contiguous indexes
+      // (align/cli.py:96-108), i-th support tagged with ITS extractor name
+      assert(line.variants.map(_.index) == Seq(1, 2, 3))
+      assert(line.variants.head.source.startsWith(
+        "ocrd-cis-line-alignment-master-ocr:x-master/"))
+      assert(line.variants(1).source.startsWith("ocrd-cis-line-alignment:x-alt/"))
+      assert(line.variants(2).source.startsWith("ocrd-cis-line-alignment:x-third/"))
+      line.words.foreach { w =>
+        assert(w.variants.head.index == 1)
+        assert(w.variants.head.source.contains("master-ocr:x-master/"))
+        w.variants.tail.foreach { v =>
+          val ex = k3(v.index - 1).name
+          assert(v.index >= 2 && v.index <= 3)
+          assert(v.source.contains(":" + ex + "/") || v.source.endsWith(":" + ex),
+            s"index-${v.index} word variant tagged '${v.source}', expected $ex")
+        }
+      }
+    }
+    // the third extractor must actually contribute distinct text somewhere
+    // (otherwise this test would pass on a k=2 code path that pads)
+    assert(lines.exists(l => l.variants(2).text != l.variants(1).text &&
+      l.variants(2).text != l.variants.head.text))
+  }
+
+  test("k=3 shuffled path: identical output to fused align, one shuffle key") {
+    import spark.implicits._
+    val pages = Pipeline.generate(spark, 30)
+    val fused = Pipeline.align(Pipeline.segment(pages), k3)
+      .collect().map(ap => ap.url -> ap).toMap
+    val shuffled = Pipeline.alignShuffled(pages, k3)
+    val got = shuffled.collect()
+    assert(got.length == fused.size)
+    got.foreach { ap => assert(ap == fused(ap.url), s"k=3 divergence at ${ap.url}") }
+    // 3 union branches, all exchanges on the SAME key = one stage boundary
+    val p = shuffled.queryExecution.executedPlan.toString
+    val keys = "Exchange hashpartitioning\\((\\w+)#".r
+      .findAllMatchIn(p).map(_.group(1)).toSeq
+    assert(keys.nonEmpty && keys.distinct.size == 1,
+      s"expected one shuffle key, got $keys:\n$p")
+    assert(keys.size <= k3.length, s"more exchanges than union branches: $keys")
+  }
+}

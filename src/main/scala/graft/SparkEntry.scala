@@ -224,13 +224,15 @@ object SparkEntry {
     }),
 
     // EvalDLE/EvalRRDM analog (aio/aio.py:17-19,514-537): per-head
-    // outcome counts over the held-out pages [300, 500), every token
-    // replayed through the production decision chain
+    // outcome counts over the held-out pages [300, 700) — the clean
+    // validation slice plus the hard-eval slice [500, 700) whose
+    // deliberately-uncorrectable garbles force NONZERO failure counters —
+    // every token replayed through the production decision chain
     // (Corrector.classifyToken) and scored against the positional golden
     // token. The oracle derives the report from generator corpus facts
     // (fixtures/Expected headeval.parquet).
     "q47_head_eval" -> ((s, _) =>
-      graft.pipeline.Pipeline.headEval(s, 300L, 200L)),
+      graft.pipeline.Pipeline.headEval(s, 300L, 400L)),
 
     // external-recognizer prediction import (div/importer.py:130-203):
     // parse the real predictions JSON schema (predictions[0].sentence +
@@ -1131,29 +1133,32 @@ object SparkEntry {
         |WHERE e1.event_id < e2.event_id
         |  AND abs(epoch_us(e1.ts) - epoch_us(e2.ts)) <= 3600000000
         |GROUP BY e1.user_id ORDER BY e1.user_id""".stripMargin,
-    // generator corpus facts: tokens_total / corrupted are direct sums;
-    // accepted_right == corrupted because every injected corruption is
-    // correctable by construction; every failure counter is the computed
-    // token-level residue between the expected corrected text and golden
-    // (zero exactly, because the expectation is byte identity)
+    // generator corpus facts over [300,700): tokens_total is a direct sum;
+    // the hard-eval slice [500,700) injects deliberately-uncorrectable
+    // garbles, so the failure counters are NONZERO generator facts
+    // (fixtures/Expected headeval comment for the per-token
+    // classification): missed = all garbles, false_extensions = the
+    // entity-shaped garbles the LE head must protect-not-correct,
+    // accepted_right = exactly the correctable channel corruptions. A
+    // miscounted failure path (or a head that corrects/vetoes the wrong
+    // class) shifts a nonzero counter and fails the hash gate.
     "q47_head_eval" ->
       """WITH agg AS (
         |  SELECT CAST(sum(n_tokens) AS BIGINT) AS toks,
-        |    CAST(sum(n_corrections) AS BIGINT) AS corr,
-        |    CAST(sum(len(list_filter(
-        |      list_zip(string_split_regex(expected_corrected, '[ ' || chr(10) || ']'),
-        |               string_split_regex(golden, '[ ' || chr(10) || ']')),
-        |      p -> p[1] <> p[2]))) AS BIGINT) AS resid
+        |    CAST(sum(n_correctable) AS BIGINT) AS corr_ok,
+        |    CAST(sum(n_garble_sym) AS BIGINT) AS gsym,
+        |    CAST(sum(n_garble_ent) AS BIGINT) AS gent
         |  FROM read_parquet('/tmp/graft_expected/headeval.parquet/*.parquet'))
         |SELECT head, metric, n FROM (
-        |  SELECT 'corrector' AS head, 'corrupted' AS metric, corr AS n FROM agg
-        |  UNION ALL SELECT 'corrector', 'false_corrections', resid FROM agg
-        |  UNION ALL SELECT 'corrector', 'missed', resid FROM agg
+        |  SELECT 'corrector' AS head, 'corrupted' AS metric,
+        |    corr_ok + gsym + gent AS n FROM agg
+        |  UNION ALL SELECT 'corrector', 'false_corrections', 0 FROM agg
+        |  UNION ALL SELECT 'corrector', 'missed', gsym + gent FROM agg
         |  UNION ALL SELECT 'corrector', 'tokens_total', toks FROM agg
-        |  UNION ALL SELECT 'dle', 'false_extensions', resid FROM agg
-        |  UNION ALL SELECT 'rrdm', 'accepted_right', corr FROM agg
-        |  UNION ALL SELECT 'rrdm', 'accepted_wrong', resid FROM agg
-        |  UNION ALL SELECT 'rrdm', 'false_vetoes', resid FROM agg)
+        |  UNION ALL SELECT 'dle', 'false_extensions', gent FROM agg
+        |  UNION ALL SELECT 'rrdm', 'accepted_right', corr_ok FROM agg
+        |  UNION ALL SELECT 'rrdm', 'accepted_wrong', 0 FROM agg
+        |  UNION ALL SELECT 'rrdm', 'false_vetoes', 0 FROM agg)
         |ORDER BY head, metric""".stripMargin,
     // expected side: the layout generator's CONSTRUCTION order (title
     // first, column-major), no geometric code involved

@@ -302,23 +302,37 @@ object Expected {
       .toDF("pat_left", "pat_right", "cnt")
       .coalesce(1).write.mode("overwrite").parquet(s"$dir/confusions.parquet")
 
-    // expected head-eval corpus facts (q47) over the HELD-OUT pages
-    // [300, 500) — the range Train validates on, disjoint from its
-    // 300-page training slice. Per page: golden text, the expected
-    // corrected text (== golden: every injected corruption is correctable
-    // by construction, see corrected.parquet above), the injected
-    // corruption count, and the whitespace token count. The oracle derives
-    // the full per-head report from these: tokens_total = sum(n_tokens),
-    // corrupted = accepted_right = sum(n_corrections), and every failure
-    // counter (missed / false_corrections / false_extensions /
-    // accepted_wrong / false_vetoes) equals the token-level mismatch count
-    // between expected_corrected and golden — computed, and zero exactly
-    // because byte-identity leaves no token-level residue.
-    (300L until 500L).map { i =>
+    // expected head-eval corpus facts (q47) over the held-out pages
+    // [300, 700): the clean validation slice [300, 500) (every corruption
+    // correctable by construction) PLUS the hard-eval slice [500, 700)
+    // whose generator injects DELIBERATELY-UNCORRECTABLE garbles — so the
+    // failure counters the oracle derives are nonzero generator facts and
+    // a miscounted failure path in the engine cannot pass. Per-token
+    // classification comes from the construction-time (true, corrupted)
+    // pairs, never from the engine:
+    //  - corrupted == true            -> clean
+    //  - corrupted has no alnum char  -> symbol garble (engine: non_alnum
+    //    -> missed; no decision head ever sees it)
+    //  - corrupted capitalized        -> pseudo-entity garble (exact shape
+    //    of valid entities -> LE protects it -> le_extended on a corrupted
+    //    token = false_extension AND missed)
+    //  - otherwise                    -> correctable channel corruption
+    //    (engine must fix it -> accepted_right)
+    (300L until 700L).map { i =>
       val tp = PagesGen.page(i)
       val nTokens = tp.trueText.split("\n").map(_.split(" ", -1).length.toLong).sum
-      (tp.row.url, tp.trueText, tp.trueText, nCorrectionsOf(i), nTokens)
-    }.toDF("url", "golden", "expected_corrected", "n_corrections", "n_tokens")
+      var nCorrectable = 0L; var nSym = 0L; var nEnt = 0L
+      (tp.titlePair +: tp.linePairs).foreach { case (t, c) =>
+        t.split(" ", -1).zip(c.split(" ", -1)).foreach { case (tw, cw) =>
+          if (tw != cw) {
+            if (!cw.exists(_.isLetterOrDigit)) nSym += 1
+            else if (cw.head.isUpper) nEnt += 1
+            else nCorrectable += 1
+          }
+        }
+      }
+      (tp.row.url, tp.trueText, nCorrectable, nSym, nEnt, nTokens)
+    }.toDF("url", "golden", "n_correctable", "n_garble_sym", "n_garble_ent", "n_tokens")
       .coalesce(1).write.mode("overwrite").parquet(s"$dir/headeval.parquet")
 
     // expected prediction import (q48): the importer algorithm

@@ -133,9 +133,31 @@ object PagesGen {
       while (lex.contains(ent)) ent = sampleWord() + "a"
       ent.capitalize
     }
+    // DELIBERATELY-UNCORRECTABLE corruptions (EvalRRDM gate, aio/aio.py:17-19:
+    // the reference's eval reports real failure types). Only the hard-eval
+    // range [500, 700) carries them, so every failure counter in the q47
+    // oracle is a nonzero generator fact there; all other ranges keep the
+    // round-3 corpus byte-identical. Two classes with structurally-forced
+    // engine outcomes:
+    //  - symbol garble: total misrecognition to punctuation soup (no
+    //    alnum char survives -> contextOf=None -> non_alnum -> missed)
+    //  - pseudo-entity garble: truth word + "a", capitalized — the exact
+    //    shape of valid entities, so the LE head protects it instead of
+    //    correcting (le_extended on a CORRUPTED token = false_extension
+    //    AND missed)
+    val garbleRate = if (i >= 500 && i < 700) 0.06 else 0.0
+    val symbolSoup = IndexedSeq("?!?", "!?!", "??!", "!!?")
     def line(n: Int): (String, String) = { // (true, corrupted)
       val pairs = Seq.fill(n) {
-        if (rng.nextDouble() < 0.04) {
+        if (garbleRate > 0 && rng.nextDouble() < garbleRate) {
+          if (rng.nextBoolean()) {
+            (sampleWord(), symbolSoup(rng.nextInt(symbolSoup.length)))
+          } else {
+            var w = sampleWord()
+            while (lex.contains(w + "a")) w = sampleWord()
+            (w, (w + "a").capitalize)
+          }
+        } else if (rng.nextDouble() < 0.04) {
           val e = entityWord(); (e, e)
         } else {
           val w = sampleWord()

@@ -110,4 +110,22 @@ class TrainSpec extends AnyFunSuite {
     val rt = TrainedModel.parse(TrainedModel.render(m, "rt").linesIterator)
     assert(rt.rr.sameElements(m.rr) && rt.leBias == m.leBias)
   }
+
+  test("hard-eval range: uncorrectable garbles force nonzero failure counters") {
+    // pages [500, 700) inject symbol + pseudo-entity garbles (PagesGen);
+    // the report must count them as missed / false_extensions and must NOT
+    // leak them into accepted_wrong / false_vetoes / false_corrections —
+    // the discriminating q47 gate (VERDICT r3 #4)
+    val rows = graft.pipeline.Pipeline.headEval(spark, 500L, 200L).collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    assert(rows(("corrector", "missed")) > 0)
+    assert(rows(("dle", "false_extensions")) > 0)
+    assert(rows(("corrector", "missed")) > rows(("dle", "false_extensions")),
+      "missed must include BOTH garble classes, false_extensions only the entity-shaped one")
+    assert(rows(("rrdm", "accepted_wrong")) == 0)
+    assert(rows(("rrdm", "false_vetoes")) == 0)
+    assert(rows(("corrector", "false_corrections")) == 0)
+    assert(rows(("rrdm", "accepted_right")) ==
+      rows(("corrector", "corrupted")) - rows(("corrector", "missed")))
+  }
 }

@@ -239,17 +239,28 @@ object HtmlBlocks {
     * order != reading order, and only the geometric operators recover it.
     * Row-local like [[segment]] — runs inside Dataset.map, no shuffle.
     */
-  def segmentLayout(html: String): Seq[(Block, ReadingOrder.Box)] = {
+  def segmentLayout(html: String): Seq[(Block, ReadingOrder.Box)] =
+    segmentLayoutOpt(html).getOrElse(
+      throw new IllegalArgumentException(
+        "layout parse mismatch: positioned divs != text blocks"))
+
+  /** Total variant: `None` for a page whose positioned-div count does not
+    * match its text-block count (real HTML mixes absolutely-positioned
+    * and flow content freely). This runs row-local inside Dataset.map, so
+    * the strict [[segmentLayout]] would fail the WHOLE job on the first
+    * non-conforming page — callers over untrusted corpora flatMap this
+    * and decide (skip the page / fall back to DOM order); the throwing
+    * variant stays for the fixture-driven paths where a mismatch is a
+    * generator bug, not data.
+    */
+  def segmentLayoutOpt(html: String): Option[Seq[(Block, ReadingOrder.Box)]] = {
     val blocks = segmentString(html).filter(_.kind == "text")
     val boxes = cssBoxRe.findAllMatchIn(html).map { m =>
       val left = m.group(1).toDouble; val top = m.group(2).toDouble
       ReadingOrder.Box(top, top + m.group(4).toDouble,
         left, left + m.group(3).toDouble)
     }.toIndexedSeq
-    require(boxes.length == blocks.length,
-      s"layout parse mismatch: ${boxes.length} positioned divs vs " +
-        s"${blocks.length} text blocks")
-    blocks.zip(boxes)
+    if (boxes.length == blocks.length) Some(blocks.zip(boxes)) else None
   }
 
   def groupRegions(blocks: Seq[Block]): Seq[(Int, Block)] = {

@@ -30,6 +30,38 @@ import org.apache.spark.sql.functions._
   */
 object Dedup {
 
+  private val log = org.slf4j.LoggerFactory.getLogger(getClass)
+  @volatile private var warnedLocalFallback = false
+
+  /** Rounds the last [[connectedComponents]] call took to converge —
+    * diagnostic only (tests assert the pointer-jumping O(log diameter)
+    * bound holds on adversarial-diameter graphs).
+    */
+  @volatile var lastRounds: Int = 0
+
+  /** Reliable-checkpoint file of a checkpointed DataFrame round, for
+    * stale-round cleanup (Spark never deletes reliable checkpoint data
+    * unless spark.cleaner.referenceTracking.cleanCheckpoints is on, so a
+    * long-lived driver would leak one labels snapshot per round). The
+    * checkpointed RDD sits inside the analyzed LogicalRDD; reached via
+    * reflection because LogicalRDD is private[sql] — any failure degrades
+    * to "no cleanup", never to a wrong result.
+    */
+  private def checkpointFileOf(df: DataFrame): Option[String] =
+    scala.util.Try {
+      val plan = df.queryExecution.analyzed
+      val rdd = plan.getClass.getMethod("rdd").invoke(plan)
+        .asInstanceOf[org.apache.spark.rdd.RDD[_]]
+      rdd.getCheckpointFile.orNull
+    }.toOption.flatMap(Option(_))
+
+  private def deletePath(df: DataFrame, path: String): Unit =
+    scala.util.Try {
+      val p = new org.apache.hadoop.fs.Path(path)
+      p.getFileSystem(df.sparkSession.sparkContext.hadoopConfiguration)
+        .delete(p, true)
+    }
+
   /** Connected components over an undirected edge list.
     *
     * @param vertices one column `id` (BIGINT) — every document, including
@@ -75,19 +107,33 @@ object Dedup {
         .join(labels.as("l"), col("h.comp") === col("l.id"), "left")
         .select(col("h.id"),
           least(col("h.comp"), coalesce(col("l.comp"), col("h.comp"))).as("comp"))
-      val next =
-        if (vertices.sparkSession.sparkContext.getCheckpointDir.isDefined)
-          next0.checkpoint(true)
-        else next0.localCheckpoint(true)
+      val reliable = vertices.sparkSession.sparkContext.getCheckpointDir.isDefined
+      if (!reliable && !warnedLocalFallback) {
+        warnedLocalFallback = true
+        log.warn("connectedComponents: no checkpoint dir configured - " +
+          "falling back to localCheckpoint. Executor-local blocks do NOT " +
+          "survive executor loss; on a cluster, set " +
+          "sparkContext.setCheckpointDir to a reliable (HDFS/S3) path or " +
+          "an executor failure mid-iteration kills the job.")
+      }
+      val next = if (reliable) next0.checkpoint(true) else next0.localCheckpoint(true)
       // fixpoint test: per-vertex labels are monotonically non-increasing,
       // so an unchanged sum means no label moved
       val s = next.agg(sum(col("comp").cast("decimal(38,0)"))).first().getDecimal(0)
       labels.unpersist()
+      // round r materialized from round r-1's checkpoint; r-1's files are
+      // now dead (nothing references them) — delete rather than leak one
+      // labels snapshot per round (Spark only cleans these itself under
+      // cleaner.referenceTracking.cleanCheckpoints)
+      if (reliable) {
+        checkpointFileOf(labels).foreach(deletePath(next, _))
+      }
       labels = next
       converged = s.compareTo(prevSum) == 0
       prevSum = s
       round += 1
     }
+    lastRounds = round
     require(converged,
       s"connectedComponents did not converge within $maxRounds rounds — " +
         "graph diameter exceeds the bound; raise maxRounds")

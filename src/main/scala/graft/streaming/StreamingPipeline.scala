@@ -45,19 +45,39 @@ object StreamingPipeline {
     * one boolean per url; on a real cluster the key space is bounded by
     * RocksDB state-store spill.
     */
-  def dedupFirstSeen(pages: Dataset[PageRow]): Dataset[PageRow] = {
+  def dedupFirstSeen(pages: Dataset[PageRow], ttlMs: Long = 0L): Dataset[PageRow] = {
     import pages.sparkSession.implicits._
     pages.groupByKey(_.url)
       .flatMapGroupsWithState[Boolean, PageRow](
-        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
-        (_: String, rows: Iterator[PageRow], state: GroupState[Boolean]) =>
-          if (state.exists) Iterator.empty
-          else {
-            state.update(true)
-            rows.take(1)
-          }
-      }
+        OutputMode.Append(), timeoutConf(ttlMs))(firstSeenFn(ttlMs))
   }
+
+  private def timeoutConf(ttlMs: Long): GroupStateTimeout =
+    if (ttlMs > 0) GroupStateTimeout.ProcessingTimeTimeout()
+    else GroupStateTimeout.NoTimeout()
+
+  /** Shared first-seen-wins state transition (url dedup + near-dup
+    * suppression): emit the first delivery of a key, drop the rest. With
+    * `ttlMs > 0`, state carries a processing-time TTL refreshed on every
+    * sighting (sliding — hot keys stay suppressed, cold state is
+    * reclaimed); a timed-out entry is removed so the key's NEXT delivery
+    * is re-admitted as novel. Package-visible so the transition is
+    * unit-testable (private[graft]) against TestGroupState without a running stream.
+    */
+  private[graft] def firstSeenFn(ttlMs: Long)
+      : (String, Iterator[PageRow], GroupState[Boolean]) => Iterator[PageRow] =
+    (_, rows, state) =>
+      if (state.hasTimedOut) {
+        state.remove() // cold key: reclaim the state-store entry
+        Iterator.empty
+      } else if (state.exists) {
+        if (ttlMs > 0) state.setTimeoutDuration(ttlMs) // sliding refresh
+        Iterator.empty
+      } else {
+        state.update(true)
+        if (ttlMs > 0) state.setTimeoutDuration(ttlMs)
+        rows.take(1)
+      }
 
   /** Row-local MinHash signature — the SAME scheme as the batch near-dup
     * pair stage (SparkEntry q18: stride-7 char-12-gram shingles, 8 salted
@@ -80,20 +100,23 @@ object StreamingPipeline {
     * end of the near-dup spectrum (8/8 min-hashes agreeing implies
     * near-certain high Jaccard); the full-recall path — band join +
     * transitive connected components — needs a corpus-global view and
-    * stays batch (q18/q50). State is one boolean per distinct signature.
+    * stays batch (q18/q50).
+    *
+    * State is one boolean per distinct signature, and on an unbounded
+    * stream that set grows forever — so state carries a processing-time
+    * TTL (default 30 days), refreshed on every re-sighting. Retention
+    * trade-off, explicitly: an expired signature's next delivery is
+    * re-admitted as novel (a duplicate more than `ttl` after its last
+    * sighting slips through); the sliding refresh keeps HOT duplicates
+    * suppressed indefinitely while cold state is reclaimed. `ttlMs <= 0`
+    * restores unbounded NoTimeout retention for bounded replays.
     */
-  def nearDupFirstSeen(pages: Dataset[PageRow]): Dataset[PageRow] = {
+  def nearDupFirstSeen(pages: Dataset[PageRow],
+      ttlMs: Long = 30L * 24 * 3600 * 1000): Dataset[PageRow] = {
     import pages.sparkSession.implicits._
     pages.groupByKey(p => minhashSignature(p.text))
       .flatMapGroupsWithState[Boolean, PageRow](
-        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
-        (_: String, rows: Iterator[PageRow], state: GroupState[Boolean]) =>
-          if (state.exists) Iterator.empty
-          else {
-            state.update(true)
-            rows.take(1)
-          }
-      }
+        OutputMode.Append(), timeoutConf(ttlMs))(firstSeenFn(ttlMs))
   }
 
   /** Watermarked per-host ingest rate: tumbling 1-hour windows over the

@@ -64,4 +64,44 @@ class DedupSpec extends AnyFunSuite {
     }
     assert(e.getMessage.contains("converge"))
   }
+
+  test("adversarial diameter: 1000-vertex path converges in O(log n) rounds") {
+    import spark.implicits._
+    // a path graph is the worst case for plain label propagation
+    // (diameter 999 = 999 rounds); pointer jumping must close it in
+    // ~log2(diameter) rounds, well inside the default maxRounds=20 —
+    // this pins the doubling behavior, not just eventual correctness
+    val n = 1000L
+    val verts = (0L until n).toDF("id")
+    val edges = (0L until n - 1).map(i => (i, i + 1)).toDF("src", "dst")
+    val comp = Dedup.connectedComponents(verts, edges)
+      .agg(countDistinct(col("comp")), max(col("comp"))).first()
+    assert(comp.getLong(0) == 1L && comp.getLong(1) == 0L)
+    assert(Dedup.lastRounds <= 12,
+      s"pointer jumping degraded: ${Dedup.lastRounds} rounds for diameter ${n - 1}")
+  }
+
+  test("reliable checkpoint path: used when a dir is set, stale rounds deleted") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-cc-ck").toString
+    val sc = spark.sparkContext
+    sc.setCheckpointDir(dir)
+    try {
+      val verts = (0L until 64L).toDF("id")
+      val edges = (0L until 63L).map(i => (i, i + 1)).toDF("src", "dst")
+      val comp = Dedup.connectedComponents(verts, edges)
+      assert(comp.agg(countDistinct(col("comp"))).first().getLong(0) == 1L)
+      // the reliable path must have been taken (>= 1 rdd checkpoint under
+      // the dir) AND all stale per-round snapshots deleted — only the
+      // final round's labels, which the returned plan still reads, remain
+      val rddDirs = java.nio.file.Files.walk(java.nio.file.Paths.get(dir))
+        .filter(p => p.getFileName.toString.startsWith("rdd-")).toArray
+      assert(rddDirs.length == 1,
+        s"expected exactly the final round's checkpoint, found: ${rddDirs.mkString(", ")}")
+    } finally {
+      // SparkContext cannot unset a checkpoint dir; park it on a fresh
+      // throwaway so this test's dir can be inspected/deleted safely
+      sc.setCheckpointDir(java.nio.file.Files.createTempDirectory("graft-ck-rest").toString)
+    }
+  }
 }

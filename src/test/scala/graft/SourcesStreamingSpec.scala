@@ -82,10 +82,20 @@ class SourcesStreamingSpec extends AnyFunSuite {
       .select(col("url"), col("text")).collect()
       .map(r => r.getString(0) -> r.getString(1))
     assert(rows.nonEmpty, "streaming produced no rows")
-    // every streamed url must match the batch golden truth for its index
+    // every streamed page must be byte-identical to the BATCH pipeline's
+    // correction of the same page (the actual parity property); outside
+    // the hard-eval garble range [500, 700) batch output is additionally
+    // byte-identical to golden, so both invariants are covered
+    val profile = Pipeline.defaultProfile(spark)
+    val lde = Pipeline.lexiconWith("de", profile)
+    val len = Pipeline.lexiconWith("en", profile)
     rows.foreach { case (url, text) =>
       val idx = url.substring(url.lastIndexOf('p') + 1).toLong
-      assert(text == Pipeline.goldenText(idx), s"streamed $url differs from golden")
+      val batch = Pipeline.correctPage(
+        Pipeline.alignPage(Pipeline.segmentPage(PagesGen.page(idx).row)), lde, len).text
+      assert(text == batch, s"streamed $url differs from the batch pipeline")
+      if (idx < 500L || idx >= 700L)
+        assert(text == Pipeline.goldenText(idx), s"streamed $url differs from golden")
     }
     rmTree(Paths.get(out)); rmTree(Paths.get(ckpt))
   }
@@ -161,6 +171,40 @@ class StatefulStreamingSpec extends AnyFunSuite {
     }
   }
 
+  test("first-seen TTL transition: refresh on sighting, reclaim on timeout, re-admit after") {
+    import org.apache.spark.sql.streaming.{GroupStateTimeout, TestGroupState}
+    import org.apache.spark.api.java.Optional
+    val ttl = 1000L
+    val fn = StreamingPipeline.firstSeenFn(ttl)
+    val ts = new java.sql.Timestamp(0L)
+    def page(url: String) = graft.core.PageRow(url, ts, Array.emptyByteArray, "t", "en")
+    def st(existing: Option[Boolean], timedOut: Boolean) = {
+      val opt = existing.map(Optional.of[Boolean]).getOrElse(Optional.empty[Boolean]())
+      TestGroupState.create[Boolean](opt,
+        GroupStateTimeout.ProcessingTimeTimeout(), 5000L,
+        Optional.empty[Long](), timedOut)
+    }
+    // new key: emit first delivery, arm the TTL
+    val fresh = st(None, timedOut = false)
+    assert(fn("k", Iterator(page("a"), page("b")), fresh).toSeq.map(_.url) == Seq("a"))
+    assert(fresh.exists && fresh.getTimeoutTimestampMs.get() == 5000L + ttl)
+    // seen key: drop the delivery, slide the TTL forward
+    val seen = st(Some(true), timedOut = false)
+    assert(fn("k", Iterator(page("c")), seen).isEmpty)
+    assert(seen.getTimeoutTimestampMs.get() == 5000L + ttl)
+    // timed-out key: state reclaimed (the next delivery re-admits as novel)
+    val cold = st(Some(true), timedOut = true)
+    assert(fn("k", Iterator.empty, cold).isEmpty)
+    assert(cold.isRemoved)
+    // ttl = 0: unbounded retention, no timeout ever armed
+    val nofn = StreamingPipeline.firstSeenFn(0L)
+    val unbounded = TestGroupState.create[Boolean](
+      Optional.empty[Boolean](), GroupStateTimeout.NoTimeout(), 5000L,
+      Optional.empty[Long](), false)
+    assert(nofn("k", Iterator(page("d")), unbounded).toSeq.map(_.url) == Seq("d"))
+    assert(unbounded.exists && !unbounded.getTimeoutTimestampMs.isPresent)
+  }
+
   test("stateful near-dup suppression drops re-rendered duplicates across batches") {
     import spark.implicits._
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
@@ -175,7 +219,11 @@ class StatefulStreamingSpec extends AnyFunSuite {
       1 -> page("https://a.example/1", base),
       2 -> page("https://mirror.example/1", base), // mirror re-render
       3 -> page("https://b.example/2", base.replace("quick", "slow")))
-    val out = StreamingPipeline.nearDupFirstSeen(in.toDS().map(feed))
+    // ttlMs = 0 (NoTimeout): with a processing-time TTL the engine keeps
+    // scheduling timeout-check batches, so processAllAvailable never
+    // latches — bounded replays/tests use the unbounded-retention mode
+    // the parameter documents; production keeps the 30-day default
+    val out = StreamingPipeline.nearDupFirstSeen(in.toDS().map(feed), ttlMs = 0L)
       .map(_.url).toDF("url")
     val q = out.writeStream.format("memory").queryName("neardup_out")
       .outputMode("append")

@@ -342,6 +342,34 @@ object SparkEntry {
         .orderBy(col("url"), col("rank"))
     }),
 
+    // table-CELL reading order (segment.py:145-876's table-cell role):
+    // row-major — the opposite nesting of q49's column-major pages — via
+    // the hierarchical composition X-Y cut (caption + one region per row;
+    // touching cells make rows uncuttable) THEN the geometric partial
+    // order within each region (leftOf chains the cells). The DOM emits
+    // cells column-major with the caption last, so document order and the
+    // flat global topsort (which is column-major by construction) both
+    // fail — only the region-then-order composition reconstructs it.
+    "q52_table_order" -> ((s, _) => {
+      import s.implicits._
+      s.range(0L, 100L).flatMap { i =>
+        val bb = graft.core.HtmlBlocks.segmentLayout(
+          graft.fixtures.LayoutGen.tableHtml(i))
+        val boxes = bb.map(_._2).toIndexedSeq
+        val region = graft.core.ReadingOrder.xyCut(boxes)
+        val ordered = boxes.indices.groupBy(region).toSeq.sortBy(_._1)
+          .flatMap { case (_, idx) =>
+            val sub = idx.toIndexedSeq
+            graft.core.ReadingOrder.topsort(
+              graft.core.ReadingOrder.order(sub.map(boxes))).map(sub)
+          }
+        ordered.zipWithIndex.map { case (bi, rank) =>
+          (graft.fixtures.LayoutGen.tableUrl(i), rank, region(bi), bb(bi)._1.text)
+        }
+      }.toDF("url", "rank", "region", "text")
+        .orderBy(col("url"), col("rank"))
+    }),
+
     // the COMPOSED training-data prep chain — the engine's actual 100 TB
     // use case, every stage reusing an individually-oracled operator:
     //   quality gate (q14's stats)  ->  exact dedup (q15's 2-lane
@@ -1190,6 +1218,12 @@ object SparkEntry {
     "q49_layout_order" ->
       """SELECT url, rank, region, text
         |FROM read_parquet('/tmp/graft_expected/layout_order.parquet/*.parquet')
+        |ORDER BY url, rank""".stripMargin,
+    // expected side: the table generator's CONSTRUCTION order (caption,
+    // then row-major cells), no geometric code involved
+    "q52_table_order" ->
+      """SELECT url, rank, region, text
+        |FROM read_parquet('/tmp/graft_expected/table_order.parquet/*.parquet')
         |ORDER BY url, rank""".stripMargin,
     // expected side re-runs the importer's imperative char loop
     // (div/importer.py:150-203) driver-side — see fixtures/Expected.scala

@@ -388,5 +388,16 @@ object Expected {
       }
     }.toDF("url", "rank", "region", "text")
       .coalesce(1).write.mode("overwrite").parquet(s"$dir/layout_order.parquet")
+
+    // expected table-cell reading order (q52): the table generator's
+    // construction order — caption first, then ROW-major cells — again
+    // without geometric code; the engine must reconstruct it via
+    // xyCut-then-order over a column-major DOM.
+    (0L until 100L).flatMap { i =>
+      LayoutGen.expectedTableOrder(i).map { case (rank, region, text) =>
+        (LayoutGen.tableUrl(i), rank, region, text)
+      }
+    }.toDF("url", "rank", "region", "text")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/table_order.parquet")
   }
 }

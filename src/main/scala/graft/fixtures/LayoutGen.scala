@@ -53,4 +53,46 @@ object LayoutGen {
       (rank, reg, t)
     }
   }
+
+  // ---- table pages (segment.py's table-cell ordering role) ----
+  //
+  // A caption box plus a rows x cols grid of CELLS. Reading order for a
+  // table is ROW-major (left-to-right within a row, rows top-to-bottom) —
+  // the OPPOSITE nesting of the multi-column pages above — and the DOM
+  // emits cells COLUMN-major with the caption last, so neither document
+  // order nor the column-major composition can pass. Geometry: cells
+  // within a row TOUCH horizontally (no x-gap, so an X-Y cut cannot split
+  // a row) while rows are separated by a 10px y-gap and the caption by
+  // 20px — X-Y cut yields caption + one region per row, and the geometric
+  // partial order (leftOf) sequences the cells inside each row.
+
+  def tRows(i: Long): Int = 2 + (i % 3).toInt
+  def tCols(i: Long): Int = 2 + ((i / 3) % 2).toInt
+
+  def tableUrl(i: Long): String = s"https://host${i % 100}.example/table$i"
+
+  def captionText(i: Long): String = s"Table page $i"
+  def cellText(i: Long, r: Int, c: Int): String =
+    s"Cell row ${r + 1} col ${c + 1} of table $i"
+
+  /** The table page HTML: cells column-major, caption last. */
+  def tableHtml(i: Long): String = {
+    val rows = tRows(i); val cols = tCols(i)
+    val cells = for (c <- 0 until cols; r <- 0 until rows)
+      yield div(100 * c, 40 + 40 * r, 100, 30, cellText(i, r, c))
+    val caption = div(0, 0, 100 * cols, 20, captionText(i))
+    "<html><body>" + (cells :+ caption).mkString + "</body></html>"
+  }
+
+  /** True table reading order by construction: caption (region 0), then
+    * row r left-to-right (region r+1). Emitted WITHOUT geometric code.
+    */
+  def expectedTableOrder(i: Long): Seq[(Int, Int, String)] = {
+    val rows = tRows(i); val cols = tCols(i)
+    val body = for (r <- 0 until rows; c <- 0 until cols)
+      yield (r + 1, cellText(i, r, c))
+    ((0, captionText(i)) +: body).zipWithIndex.map { case ((reg, t), rank) =>
+      (rank, reg, t)
+    }
+  }
 }

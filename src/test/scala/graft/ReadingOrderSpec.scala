@@ -104,4 +104,28 @@ class XYCutSpec extends AnyFunSuite {
     // horizontal cut first: top {TL=0, TR=1}, bottom {BL=2, BR=3}
     assert(r == IndexedSeq(3, 0, 2, 1), s"got $r")
   }
+
+  test("table cells: flat topsort is column-major, xyCut-then-order is row-major") {
+    // 2x2 table grid: rows y-gapped, cells within a row TOUCHING in x —
+    // the segment.py table-cell role. Boxes in column-major DOM order.
+    val boxes = IndexedSeq(
+      Box(0, 30, 0, 100), // r0c0
+      Box(40, 70, 0, 100), // r1c0
+      Box(0, 30, 100, 200), // r0c1
+      Box(40, 70, 100, 200)) // r1c1
+    // the FLAT composition (q49's) gives column-major on a table: every
+    // left-column cell precedes every right-column cell via leftOf
+    val flat = ReadingOrder.topsort(ReadingOrder.order(boxes))
+    assert(flat == Seq(0, 1, 2, 3), s"got $flat") // c0 fully before c1: WRONG for tables
+    // the hierarchical composition: xyCut isolates rows (x cannot cut
+    // touching cells), order/topsort sequences left-to-right within a row
+    val region = ReadingOrder.xyCut(boxes)
+    assert(region == IndexedSeq(0, 1, 0, 1), s"got $region")
+    val ordered = boxes.indices.groupBy(region).toSeq.sortBy(_._1)
+      .flatMap { case (_, idx) =>
+        val sub = idx.toIndexedSeq
+        ReadingOrder.topsort(ReadingOrder.order(sub.map(boxes))).map(sub)
+      }
+    assert(ordered == Seq(0, 2, 1, 3), s"got $ordered") // row-major
+  }
 }

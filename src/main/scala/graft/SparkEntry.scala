@@ -370,6 +370,42 @@ object SparkEntry {
         .orderBy(col("url"), col("rank"))
     }),
 
+    // embedding-COSINE near-dup (the remaining dedup modality): derive a
+    // 64-dim feature-hashed tf embedding per document in ONE codegen pass
+    // (graft_hashtf — the HOF spelling is O(dim*T) and CodegenFallback),
+    // band by CENTERED sign bits (tf vectors are all-nonnegative, so raw
+    // hyperplane signs carry no information; subtracting the mean count
+    // makes the 4x16-bit keys discriminative), then verify candidates
+    // with the exact codegen cosine >= 0.97. Same scale shape as
+    // q21/q44: equi-join on (band, key) with the df <= 128 hot-band
+    // guard sharing the join's shuffle — no all-pairs comparison
+    // anywhere. tau = 0.97 sits in the corpus's [0.968, 0.987] cosine
+    // gap, so membership is float-ulp-safe on both engines.
+    "q53_cosine_neardup" -> ((s, dir) => {
+      graft.functions.CosineSim.register(s)
+      graft.functions.HashTf.register(s)
+      val emb = t(s, dir, "documents").select(col("doc_id"),
+        expr("graft_hashtf(split(text, ' '))").as("v"))
+        .withColumn("m", expr("aggregate(v, 0d, (a, x) -> a + x) / 64"))
+      def bandKey(j: Int): Column = concat((1 to 16).map(i =>
+        when(element_at(col("v"), 16 * j + i) - col("m") >= 0, "1")
+          .otherwise("0")): _*)
+      val banded0 = emb.select(col("doc_id"), col("v"),
+        posexplode(array((0 to 3).map(bandKey): _*)))
+        .toDF("doc_id", "v", "band", "key")
+      val wDf = Window.partitionBy(col("band"), col("key"))
+      val banded = banded0.withColumn("df", count(lit(1)).over(wDf))
+        .filter(col("df") <= 128).drop("df")
+      val a = banded.select(col("band"), col("key"),
+        col("doc_id").as("id1"), col("v").as("v1"))
+      val b = banded.select(col("band"), col("key"),
+        col("doc_id").as("id2"), col("v").as("v2"))
+      a.join(b, Seq("band", "key")).filter(col("id1") < col("id2"))
+        .filter(expr("graft_cosine(v1, v2)") >= 0.97)
+        .select(col("id1"), col("id2")).distinct()
+        .orderBy(col("id1"), col("id2"))
+    }),
+
     // the COMPOSED training-data prep chain — the engine's actual 100 TB
     // use case, every stage reusing an individually-oracled operator:
     //   quality gate (q14's stats)  ->  exact dedup (q15's 2-lane
@@ -1225,6 +1261,39 @@ object SparkEntry {
       """SELECT url, rank, region, text
         |FROM read_parquet('/tmp/graft_expected/table_order.parquet/*.parquet')
         |ORDER BY url, rank""".stripMargin,
+    // oracle recomputes the md5-bucketed tf embedding, the centered-sign
+    // bands + df guard and the exact cosine verify independently — the
+    // bucket hash is the shared md5 spelling (HashTf Scaladoc)
+    "q53_cosine_neardup" -> {
+      val bands = (0 to 3).map { j =>
+        val bits = (1 to 16).map(i =>
+          s"CASE WHEN v[${16 * j + i}] - m >= 0 THEN '1' ELSE '0' END")
+          .mkString(" || ")
+        s"SELECT doc_id, v, $j AS band, $bits AS key FROM cent"
+      }.mkString("\nUNION ALL ")
+      s"""WITH toks AS (
+         |  SELECT doc_id, string_split(text, ' ') AS ts FROM documents),
+         |emb AS (
+         |  SELECT doc_id, list_transform(range(0, 64), b ->
+         |    CAST(len(list_filter(ts, t -> length(t) > 0 AND
+         |      ('0x' || substring(md5(t), 1, 8))::BIGINT % 64 = b)) AS DOUBLE)) AS v
+         |  FROM toks),
+         |cent AS (SELECT doc_id, v, list_sum(v) / 64 AS m FROM emb),
+         |banded0 AS (
+         |$bands),
+         |banded AS (
+         |  SELECT * FROM banded0 WHERE (band, key) IN (
+         |    SELECT (band, key) FROM banded0
+         |    GROUP BY band, key HAVING count(*) <= 128))
+         |SELECT DISTINCT a.doc_id AS id1, b.doc_id AS id2
+         |FROM banded a JOIN banded b
+         |  ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id
+         |WHERE list_sum(list_transform(range(1, 65), k ->
+         |    a.v[CAST(k AS INT)] * b.v[CAST(k AS INT)])) /
+         |  (sqrt(list_sum(list_transform(a.v, x -> x * x))) *
+         |   sqrt(list_sum(list_transform(b.v, x -> x * x)))) >= 0.97
+         |ORDER BY id1, id2""".stripMargin
+    },
     // expected side re-runs the importer's imperative char loop
     // (div/importer.py:150-203) driver-side — see fixtures/Expected.scala
     "q48_pred_import" ->

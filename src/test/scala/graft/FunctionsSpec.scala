@@ -104,6 +104,44 @@ class FunctionsSpec extends AnyFunSuite {
       s"expression fell out of codegen:\n$plan")
   }
 
+  test("graft_hashtf matches the relational md5-bucket spelling exactly") {
+    graft.functions.HashTf.register(spark)
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .limit(50)
+      .select(col("doc_id"),
+        expr("graft_hashtf(split(text, ' '))").as("fast"),
+        // the O(dim*T) higher-order spelling the kernel replaces — and the
+        // exact formula the q53 DuckDB oracle recomputes
+        expr("""transform(sequence(0, 63), b -> cast(size(filter(
+          split(text, ' '), t -> length(t) > 0 and
+          pmod(cast(conv(substring(md5(to_binary(t, 'utf-8')), 1, 8), 16, 10) as bigint), 64) = b)) as double))""")
+          .as("slow"))
+    assert(docs.filter(col("fast") =!= col("slow")).count() == 0)
+    // stays inside whole-stage codegen over a parquet scan
+    val fastOnly = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .select(expr("graft_hashtf(split(text, ' '))").as("v"))
+    fastOnly.collect()
+    val plan = fastOnly.queryExecution.executedPlan.toString
+    assert(plan.contains("WholeStageCodegen") || plan.contains("*(1)"),
+      s"expression fell out of codegen:\n$plan")
+  }
+
+  test("graft_hashtf skips empties/nulls, honors dim, nulls through") {
+    graft.functions.HashTf.register(spark)
+    import spark.implicits._
+    val df = Seq(
+      (1, Seq("a", "", "a")), // empty token skipped, 'a' counted twice
+      (2, Seq.empty[String]),
+      (3, null.asInstanceOf[Seq[String]])
+    ).toDF("id", "toks")
+      .select(col("id"), expr("graft_hashtf(toks, 8)").as("v"))
+    val rows = df.collect().map(r => r.getInt(0) ->
+      Option(r.getSeq[Double](1))).toMap
+    assert(rows(1).get.sum == 2.0 && rows(1).get.length == 8)
+    assert(rows(2).get.sum == 0.0)
+    assert(rows(3).isEmpty) // null array -> null embedding
+  }
+
   test("CER aggregator matches the reference formula") {
     import spark.implicits._
     val ds = Seq(("abc", "abd"), ("hello", "hello"), ("xy", "xyz")).toDS()

@@ -62,6 +62,14 @@ class PlanAuditSpec extends AnyFunSuite {
     finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
   }
 
+  test("cosine near-dup pairing is a guarded equi-join on (band, key)") {
+    val q = SparkEntry.queries("q53_cosine_neardup")
+    val p = plan(q(spark, sf))
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"cosine near-dup degenerated to a product join:\n$p")
+    assert(p.contains("128"), s"hot-band df guard missing from plan:\n$p")
+  }
+
   test("minhash LSH band join is an equi-join (hash-partitionable), not a cross join") {
     val q = SparkEntry.queries("q18_minhash_lsh")
     val p = plan(q(spark, sf))

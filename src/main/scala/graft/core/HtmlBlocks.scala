@@ -239,10 +239,13 @@ object HtmlBlocks {
     * order != reading order, and only the geometric operators recover it.
     * Row-local like [[segment]] — runs inside Dataset.map, no shuffle.
     */
-  def segmentLayout(html: String): Seq[(Block, ReadingOrder.Box)] =
-    segmentLayoutOpt(html).getOrElse(
-      throw new IllegalArgumentException(
-        "layout parse mismatch: positioned divs != text blocks"))
+  def segmentLayout(html: String): Seq[(Block, ReadingOrder.Box)] = {
+    val (blocks, boxes) = layoutParts(html)
+    require(boxes.length == blocks.length,
+      s"layout parse mismatch: ${boxes.length} positioned divs vs " +
+        s"${blocks.length} text blocks")
+    blocks.zip(boxes)
+  }
 
   /** Total variant: `None` for a page whose positioned-div count does not
     * match its text-block count (real HTML mixes absolutely-positioned
@@ -254,13 +257,18 @@ object HtmlBlocks {
     * generator bug, not data.
     */
   def segmentLayoutOpt(html: String): Option[Seq[(Block, ReadingOrder.Box)]] = {
+    val (blocks, boxes) = layoutParts(html)
+    if (boxes.length == blocks.length) Some(blocks.zip(boxes)) else None
+  }
+
+  private def layoutParts(html: String): (Seq[Block], IndexedSeq[ReadingOrder.Box]) = {
     val blocks = segmentString(html).filter(_.kind == "text")
     val boxes = cssBoxRe.findAllMatchIn(html).map { m =>
       val left = m.group(1).toDouble; val top = m.group(2).toDouble
       ReadingOrder.Box(top, top + m.group(4).toDouble,
         left, left + m.group(3).toDouble)
     }.toIndexedSeq
-    if (boxes.length == blocks.length) Some(blocks.zip(boxes)) else None
+    (blocks, boxes)
   }
 
   def groupRegions(blocks: Seq[Block]): Seq[(Int, Block)] = {

@@ -85,8 +85,11 @@ object HashTf {
       "graft_hashtf",
       (children: Seq[Expression]) => children match {
         case Seq(c) => HashTf(c, 64)
-        case Seq(c, org.apache.spark.sql.catalyst.expressions.Literal(d, IntegerType)) =>
+        case Seq(c, org.apache.spark.sql.catalyst.expressions.Literal(d, IntegerType))
+            if d != null =>
           HashTf(c, d.asInstanceOf[Int])
+        case Seq(_, bad) => throw new IllegalArgumentException(
+          s"graft_hashtf: dim must be a non-null literal INT, got $bad")
         case _ => throw new IllegalArgumentException(
           "graft_hashtf(tokens[, literal dim]) expects 1 or 2 arguments")
       },

@@ -158,8 +158,10 @@ object Pipeline {
   def goldenPages(spark: SparkSession, from: Long, n: Long,
       seed: Long = 42L): Dataset[GoldenPage] = {
     import spark.implicits._
-    spark.range(from, from + n).map(i =>
-      GoldenPage(PagesGen.page(i, seed).row.url, PagesGen.page(i, seed).trueText))
+    spark.range(from, from + n).map { i =>
+      val tp = PagesGen.page(i, seed)
+      GoldenPage(tp.row.url, tp.trueText)
+    }
   }
 
   /** (masterLine, goldenLine) training pairs through the ENGINE's extract

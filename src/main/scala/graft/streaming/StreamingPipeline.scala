@@ -109,7 +109,10 @@ object StreamingPipeline {
     * re-admitted as novel (a duplicate more than `ttl` after its last
     * sighting slips through); the sliding refresh keeps HOT duplicates
     * suppressed indefinitely while cold state is reclaimed. `ttlMs <= 0`
-    * restores unbounded NoTimeout retention for bounded replays.
+    * restores unbounded NoTimeout retention — REQUIRED for bounded
+    * replays driven by `processAllAvailable()`: with a processing-time
+    * timeout armed, the engine keeps scheduling timeout-check batches and
+    * processAllAvailable never latches.
     */
   def nearDupFirstSeen(pages: Dataset[PageRow],
       ttlMs: Long = 30L * 24 * 3600 * 1000): Dataset[PageRow] = {

@@ -50,14 +50,51 @@ object TextNorm {
 
   /** normalize_text: NFC, collapse whitespace, strip newlines, trim,
     * apply replacement table. (ocrolib/common.py:42-55)
+    *
+    * Hot path: called once per block in segmentation AND once per
+    * (line, extractor) in alignment. The fast path returns the input
+    * unchanged when no transformation can apply — provably: NFC of pure
+    * ASCII is the identity; `\s` is ASCII-only in Java, and every
+    * whitespace char except single interior spaces is rejected; every
+    * ASCII char in the replacement table (`_ ~ # " \``) is rejected; all
+    * other table entries are non-ASCII. `TextNormSpec` fuzzes fast==slow.
     */
-  def normalize(s0: String): String = {
+  def normalize(s0: String): String =
+    if (isNormalizeIdentity(s0)) s0 else normalizeSlow(s0)
+
+  private[graft] def normalizeSlow(s0: String): String = {
     var s = Normalizer.normalize(s0, Normalizer.Form.NFC)
     s = wsRun.matcher(s).replaceAll(" ")
     s = s.replace("\n", "")
     s = s.trim
     compiledReplacements.foreach { case (p, r) => s = p.matcher(s).replaceAll(r) }
     s
+  }
+
+  /** True iff `normalizeSlow` would return the string unchanged: ASCII
+    * only, no control chars, no space runs or leading/trailing space, no
+    * ASCII replacement-table chars. One branchy O(n) scan vs one NFC pass
+    * + 23 regex matchers.
+    */
+  private def isNormalizeIdentity(s: String): Boolean = {
+    val n = s.length
+    if (n == 0) return true
+    if (s.charAt(0) == ' ' || s.charAt(n - 1) == ' ') return false
+    var prevSpace = false
+    var i = 0
+    while (i < n) {
+      val c = s.charAt(i)
+      if (c >= 0x80 || c < 0x20) return false
+      if (c == ' ') {
+        if (prevSpace) return false
+        prevSpace = true
+      } else {
+        if (c == '_' || c == '~' || c == '#' || c == '"' || c == '`') return false
+        prevSpace = false
+      }
+      i += 1
+    }
+    true
   }
 
   /** project_text: project onto a smaller comparison alphabet

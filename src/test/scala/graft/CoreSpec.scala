@@ -16,6 +16,28 @@ class TextNormSpec extends AnyFunSuite {
     assert(TextNorm.normalize("x_y#z~w") == "x~y~z~w")
     assert(TextNorm.normalize("a…b") == "a...b")
   }
+  test("normalize fast path is byte-identical to the reference slow path (fuzz)") {
+    // the fast identity check must NEVER diverge from the regex chain —
+    // the e2e byte-identity invariant rides on it
+    val rng = new java.util.Random(20260817L)
+    val alphabet = "abc XYZ 09!?.,;:-_~#\"`'“”‘’„…–—ﬁﬂµ′\n\täßü  <>&"
+    (0 until 5000).foreach { _ =>
+      val len = rng.nextInt(40)
+      val s = (0 until len).map(_ => alphabet.charAt(rng.nextInt(alphabet.length))).mkString
+      assert(TextNorm.normalize(s) == TextNorm.normalizeSlow(s),
+        s"fast/slow divergence on ${s.map(_.toInt).mkString("[", ",", "]")}")
+    }
+    // plus every block text of real generator pages (incl. the garble range)
+    Seq(0L, 1L, 17L, 333L, 501L, 650L).foreach { i =>
+      val html = new String(graft.fixtures.PagesGen.page(i).row.html, "UTF-8")
+      graft.core.HtmlBlocks.segment(graft.fixtures.PagesGen.page(i).row.html)
+        .foreach { b =>
+          assert(TextNorm.normalize(b.text) == TextNorm.normalizeSlow(b.text))
+        }
+      assert(TextNorm.normalize(html) == TextNorm.normalizeSlow(html))
+    }
+  }
+
   test("project: comparison alphabets (common.py:56-78)") {
     assert(TextNorm.project("a b1c!", "letdig") == "ab1c")
     assert(TextNorm.project("a b1c!", "letters") == "abc")

@@ -35,6 +35,20 @@ object MultiAlign {
     */
   private def charAlign(support: String, master: String): Array[StringBuilder] = {
     val n = support.length; val m = master.length
+    // equal strings align on the all-match diagonal — the DP's traceback
+    // (diagonal-first) produces exactly one support char per master
+    // position and no insertions, so the identity buckets are the exact
+    // DP result without the O(n*m) table. A large share of support lines
+    // are byte-equal to the master (extractor transforms only rewrite
+    // lines containing their confusion patterns), making this the common
+    // case in the hot path.
+    if (support == master) {
+      val fast = new Array[StringBuilder](m + 1)
+      var k = 0
+      while (k < m) { fast(k) = new StringBuilder(1).append(master.charAt(k)); k += 1 }
+      fast(m) = new StringBuilder
+      return fast
+    }
     // buckets(i) collects support chars aligned to master char i (0..m-1);
     // buckets(m) holds leading insertions (attached to position 0 later).
     // Flat row-major DP + lazily-created buckets: this runs once per

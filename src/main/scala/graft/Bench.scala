@@ -48,15 +48,27 @@ object Bench {
     // the headline docs/sec matters)
     val pipelineOnly = sys.env.get("SPARK_GRAFT_PIPELINE_ONLY").contains("1")
     val allQueries = if (pipelineOnly) Seq.empty else SparkEntry.queries.toSeq.sortBy(_._1)
-    def timeQuery(fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Double = {
+    // a failing query must NOT masquerade as a fast one (a missing sf dir
+    // under spark-submit would otherwise record ~0s "timings" for the
+    // whole board): failures surface on stderr and as -1 in the artifact
+    def timeQuery(name: String,
+        fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): (Double, Boolean) = {
       val t = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => () }
-      (System.nanoTime() - t) / 1e9
+      val ok =
+        try { fn(spark, sfDir).count(); true }
+        catch { case e: Throwable =>
+          System.err.println(s"[bench] $name FAILED: ${e.getMessage}")
+          false
+        }
+      ((System.nanoTime() - t) / 1e9, ok)
     }
-    allQueries.foreach { case (_, fn) => timeQuery(fn) } // warm, untimed
-    val pass1 = allQueries.map { case (name, fn) => name -> timeQuery(fn) }
-    val pass2 = allQueries.map { case (name, fn) => name -> timeQuery(fn) }.toMap
-    val results = pass1.map { case (name, t1) => name -> math.min(t1, pass2(name)) }
+    allQueries.foreach { case (name, fn) => timeQuery(name, fn) } // warm, untimed
+    val pass1 = allQueries.map { case (name, fn) => name -> timeQuery(name, fn) }
+    val pass2 = allQueries.map { case (name, fn) => name -> timeQuery(name, fn) }.toMap
+    val results = pass1.map { case (name, (t1, ok1)) =>
+      val (t2, ok2) = pass2(name)
+      name -> (if (!ok1 && !ok2) -1.0 else math.min(t1, t2))
+    }
 
     // late headline reps (several minutes after the early batch when the
     // query passes ran); overall min across both batches is the headline

@@ -1,6 +1,5 @@
 package graft
 
-import org.apache.spark.sql.SparkSession
 
 /** Flagship smoke runner: drives SparkEntry.entry the way the driver does
   * (rows > 0 check) and prints the corrected pages.

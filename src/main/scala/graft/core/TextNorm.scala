@@ -74,7 +74,7 @@ object TextNorm {
   /** True iff `normalizeSlow` would return the string unchanged: ASCII
     * only, no control chars, no space runs or leading/trailing space, no
     * ASCII replacement-table chars. One branchy O(n) scan vs one NFC pass
-    * + 23 regex matchers.
+    * + 22 regex matchers (wsRun + the 21-entry table).
     */
   private def isNormalizeIdentity(s: String): Boolean = {
     val n = s.length

@@ -9,7 +9,7 @@ package graft.tools
   */
 object ReTime {
   def main(args: Array[String]): Unit = {
-    val spark = graft.SparkBoot.session("32")
+    val spark = graft.SparkBoot.session(sys.env.getOrElse("SPARK_GRAFT_CPUS", "32"))
     val dir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     args.foreach { n => graft.SparkEntry.queries(n)(spark, dir).count() } // warm
     args.foreach { n =>

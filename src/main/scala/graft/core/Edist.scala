@@ -18,8 +18,13 @@ import scala.collection.mutable.ArrayBuffer
   */
 object Edist {
 
-  /** Levenshtein distance (edist.py:6-19). Rolling single-array DP. */
+  /** Levenshtein distance (edist.py:6-19). Rolling single-array DP.
+    * Equal strings short-circuit to 0 (trivially exact) — the common case
+    * in the hot paths that compare support lines/tokens against a master
+    * that the extractor transform did not touch.
+    */
   def levenshtein(a0: String, b0: String): Int = {
+    if (a0 == b0) return 0
     var a = a0; var b = b0
     if (a.length > b.length) { val t = a; a = b; b = t }
     val n = a.length; val m = b.length

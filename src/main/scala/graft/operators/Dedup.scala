@@ -116,7 +116,12 @@ object Dedup {
           "sparkContext.setCheckpointDir to a reliable (HDFS/S3) path or " +
           "an executor failure mid-iteration kills the job.")
       }
-      val next = if (reliable) next0.checkpoint(true) else next0.localCheckpoint(true)
+      // reliable path: EAGER checkpoint (a lazy reliable checkpoint would
+      // re-run the whole job a second time to write the files). local
+      // path: LAZY localCheckpoint — it caches + truncates lineage on
+      // first materialization, so the fixpoint agg below doubles as the
+      // materializing action and each round costs ONE job instead of two.
+      val next = if (reliable) next0.checkpoint(true) else next0.localCheckpoint(false)
       // fixpoint test: per-vertex labels are monotonically non-increasing,
       // so an unchanged sum means no label moved
       val s = next.agg(sum(col("comp").cast("decimal(38,0)"))).first().getDecimal(0)

@@ -63,6 +63,19 @@ class TextNormSpec extends AnyFunSuite {
 }
 
 class HtmlBlocksSpec extends AnyFunSuite {
+  test("segmentLayoutOpt: None for non-conforming pages, strict variant names the counts") {
+    // real HTML mixes positioned and flow content: 1 positioned div but 2
+    // text blocks — the row-local tolerant path must skip, not throw
+    val mixed = """<html><body><div style="position:absolute;left:0px;top:0px;width:100px;height:20px">boxed</div><p>flow paragraph</p></body></html>"""
+    assert(HtmlBlocks.segmentLayoutOpt(mixed).isEmpty)
+    val e = intercept[IllegalArgumentException](HtmlBlocks.segmentLayout(mixed))
+    assert(e.getMessage.contains("1 positioned divs") &&
+      e.getMessage.contains("2 text blocks"), e.getMessage)
+    // a conforming page parses identically through both variants
+    val ok = graft.fixtures.LayoutGen.html(3L)
+    assert(HtmlBlocks.segmentLayoutOpt(ok).contains(HtmlBlocks.segmentLayout(ok)))
+  }
+
   test("segments paragraphs with byte spans") {
     val html = "<html><body><p>Hello world</p><p>Second block</p></body></html>"
     val blocks = HtmlBlocks.segmentString(html)

@@ -35,28 +35,40 @@ object JsonlPages {
     StructField("_corrupt_record", StringType)
   ))
 
-  /** Parse a JSONL feed into (pages, quarantine).
+  /** Parsed feed: the good pages, the quarantined rows, and the shared
+    * parse cache. `pages` and `quarantine` both derive from one cached
+    * JSON parse; call [[unpersist]] after landing both outputs — the
+    * cache is NOT leaked-by-design, its lifetime belongs to the caller
+    * (a per-feed ingest job lands pages + quarantine, then drops it).
+    */
+  final case class Feed(pages: Dataset[PageRow], quarantine: DataFrame,
+      private val raw: DataFrame) {
+    def unpersist(): Unit = { raw.unpersist(); () }
+  }
+
+  /** Parse a JSONL feed.
     *
     * Quarantined rows: unparseable JSON lines, plus parseable rows
     * missing url/warc_ts/html_b64 or whose timestamp/base64 does not
-    * decode. The quarantine frame keeps the raw line (or the partial
-    * parse) so failures are debuggable downstream.
+    * decode (`try_to_timestamp` / `try_to_binary(..., 'base64')` turn
+    * bad values into NULLs instead of failing the task — `unbase64`
+    * would THROW on truncated input and silently emit garbage bytes for
+    * non-alphabet input). The quarantine frame keeps the raw line (or
+    * the partial parse) so failures are debuggable downstream.
     */
-  def read(spark: SparkSession, path: String): (Dataset[PageRow], DataFrame) = {
+  def read(spark: SparkSession, path: String): Feed = {
     import spark.implicits._
     val raw = spark.read
       .schema(schema)
       .option("mode", "PERMISSIVE")
       .option("columnNameOfCorruptRecord", "_corrupt_record")
       .json(path)
-      // try_to_timestamp keeps a bad timestamp as NULL instead of failing
-      // the task under ANSI mode; unbase64 is lenient by construction
       .withColumn("ts", expr("try_to_timestamp(warc_ts)"))
-      .withColumn("html", unbase64(col("html_b64")))
+      .withColumn("html", expr("try_to_binary(html_b64, 'base64')"))
       .cache()
 
     val ok = col("_corrupt_record").isNull &&
-      col("url").isNotNull && col("ts").isNotNull && col("html_b64").isNotNull
+      col("url").isNotNull && col("ts").isNotNull && col("html").isNotNull
     val pages = raw.filter(ok)
       .select(col("url"), col("ts").as("warc_ts"), col("html"),
         coalesce(col("text"), lit("")).as("text"),
@@ -64,6 +76,6 @@ object JsonlPages {
       .as[PageRow]
     val quarantine = raw.filter(!ok)
       .select(col("_corrupt_record"), col("url"), col("warc_ts"), col("html_b64"))
-    (pages, quarantine)
+    Feed(pages, quarantine, raw)
   }
 }

@@ -181,22 +181,26 @@ class StatefulStreamingSpec extends AnyFunSuite {
       s"""{"url":"https://a.example/2","warc_ts":"2013-01-02T03:04:05Z","html_b64":"$b64"}""", // text/lang optional
       s"""{"url":"https://bad.example/1", NOT JSON""", // unparseable line
       s"""{"warc_ts":"2013-01-01T00:00:00Z","html_b64":"$b64"}""", // missing url
-      s"""{"url":"https://c.example/1","warc_ts":"not-a-time","html_b64":"$b64"}""") // bad ts
+      s"""{"url":"https://c.example/1","warc_ts":"not-a-time","html_b64":"$b64"}""", // bad ts
+      s"""{"url":"https://d.example/1","warc_ts":"2013-01-01T00:00:00Z","html_b64":"A"}""") // truncated b64 (unbase64 would THROW)
     val f = dir.resolve("feed.jsonl")
     Files.write(f, lines.mkString("\n").getBytes("UTF-8"))
-    val (pages, quarantine) = JsonlPages.read(spark, f.toString)
-    val got = pages.collect().sortBy(_.url)
+    val feed = JsonlPages.read(spark, f.toString)
+    val got = feed.pages.collect().sortBy(_.url)
     assert(got.length == 2, s"got ${got.map(_.url).toSeq}")
     assert(got.forall(p => new String(p.html, "UTF-8") == html)) // byte round-trip
     assert(got(0).text == "hint" && got(1).text == "" && got(1).lang == "")
     assert(got(0).warc_ts.toInstant.toString == "2013-01-01T00:00:00Z")
-    // one broken line + one missing url + one bad timestamp = 3 quarantined,
-    // each debuggable (raw line or partial parse retained)
-    val q = quarantine.collect()
-    assert(q.length == 3, s"quarantine: ${q.toSeq}")
+    // broken line + missing url + bad timestamp + undecodable base64 = 4
+    // quarantined, each debuggable (raw line or partial parse retained),
+    // and none of them crashed a task
+    val q = feed.quarantine.collect()
+    assert(q.length == 4, s"quarantine: ${q.toSeq}")
     assert(q.exists(r => r.getString(0) != null && r.getString(0).contains("NOT JSON")))
+    assert(q.exists(r => r.getString(3) == "A")) // the bad-base64 row
     // the parsed feed drops straight into the pipeline
-    assert(Pipeline.segment(pages).collect().forall(_.blocks.nonEmpty))
+    assert(Pipeline.segment(feed.pages).collect().forall(_.blocks.nonEmpty))
+    feed.unpersist()
     Files.walk(dir).sorted(Comparator.reverseOrder[Path]()).forEach(f => Files.delete(f))
   }
 

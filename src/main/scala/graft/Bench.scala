@@ -67,7 +67,11 @@ object Bench {
     val pass2 = allQueries.map { case (name, fn) => name -> timeQuery(name, fn) }.toMap
     val results = pass1.map { case (name, (t1, ok1)) =>
       val (t2, ok2) = pass2(name)
-      name -> (if (!ok1 && !ok2) -1.0 else math.min(t1, t2))
+      // min over SUCCESSFUL passes only: an intermittent failure often
+      // elapses near-zero and math.min over both would record the failed
+      // rep's time as the query's timing
+      val good = Seq((t1, ok1), (t2, ok2)).filter(_._2).map(_._1)
+      name -> (if (good.isEmpty) -1.0 else good.min)
     }
 
     // late headline reps (several minutes after the early batch when the

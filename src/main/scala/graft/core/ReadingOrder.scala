@@ -31,19 +31,60 @@ object ReadingOrder {
     else w.x0 < u.x1 && w.x1 > v.x0
   }
 
-  /** order(i)(j) == true iff line i comes before line j (partial order). */
+  /** order(i)(j) == true iff line i comes before line j (partial order).
+    *
+    * Output-identical to the naive triple loop over psegutils.py:114-170,
+    * restructured so the separator scan is not O(n) per pair:
+    *  - the scan only runs when it can affect the result — `leftOf(u, v)`
+    *    must already hold (the naive loop evaluated `exists(separates)`
+    *    even when the subsequent `leftOf` test discarded it);
+    *  - per fixed `u`, the candidate separators are exactly the boxes
+    *    with `w.x0 < u.x1` (the pair-independent half of `separates`),
+    *    collected once and held in x1-DESCENDING order, so the per-pair
+    *    existence scan stops at the first `w.x1 <= v.x0` — every later
+    *    candidate fails the same condition. On column layouts (where
+    *    non-overlapping pairs are abundant) the scan terminates after
+    *    O(1) candidates: a left-column u admits only left-column
+    *    separator candidates, all of which break immediately on the
+    *    right-column v's x0. A pathological page can still force long
+    *    scans, but the common worst case (thousands of boxes in a few
+    *    columns) is O(n^2), bounded in ReadingOrderSpec.
+    */
   def order(boxes: IndexedSeq[Box]): Array[Array[Boolean]] = {
     val n = boxes.length
     val o = Array.ofDim[Boolean](n, n)
+    // all boxes in x1-descending order, reused to build each u's
+    // candidate-separator list already sorted
+    val byX1Desc = boxes.indices.sortBy(k => -boxes(k).x1)
+    val cand = new Array[Box](n)
     var i = 0
     while (i < n) {
+      val u = boxes(i)
+      var nc = 0
+      var s = 0
+      while (s < n) {
+        val w = boxes(byX1Desc(s))
+        if (w.x0 < u.x1) { cand(nc) = w; nc += 1 }
+        s += 1
+      }
       var j = 0
       while (j < n) {
-        val u = boxes(i); val v = boxes(j)
+        val v = boxes(j)
         if (xOverlaps(u, v)) {
           if (above(u, v)) o(i)(j) = true
-        } else if (!boxes.exists(w => separates(w, u, v))) {
-          if (leftOf(u, v)) o(i)(j) = true
+        } else if (leftOf(u, v)) {
+          // exists w: separates(w, u, v), scanning only candidates with
+          // w.x0 < u.x1 in x1-desc order (early exit at w.x1 <= v.x0)
+          val lo = math.min(u.y0, v.y0)
+          val hi = math.max(u.y1, v.y1)
+          var found = false
+          var k = 0
+          while (!found && k < nc && cand(k).x1 > v.x0) {
+            val w = cand(k)
+            if (!(w.y1 < lo) && !(w.y0 > hi)) found = true
+            k += 1
+          }
+          if (!found) o(i)(j) = true
         }
         j += 1
       }

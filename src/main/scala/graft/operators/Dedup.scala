@@ -33,9 +33,10 @@ object Dedup {
   private val log = org.slf4j.LoggerFactory.getLogger(getClass)
   @volatile private var warnedLocalFallback = false
 
-  /** Rounds the last [[connectedComponents]] call took to converge —
-    * diagnostic only (tests assert the pointer-jumping O(log diameter)
-    * bound holds on adversarial-diameter graphs).
+  /** Rounds the last [[connectedComponents]] call on this JVM took —
+    * diagnostic convenience ONLY, racy under concurrent calls. Tests and
+    * callers that need the round count use
+    * [[connectedComponentsWithRounds]], which returns it per-call.
     */
   @volatile var lastRounds: Int = 0
 
@@ -74,7 +75,18 @@ object Dedup {
       vertices: DataFrame,
       edges: DataFrame,
       maxRounds: Int = 20
-  ): DataFrame = {
+  ): DataFrame = connectedComponentsWithRounds(vertices, edges, maxRounds)._1
+
+  /** [[connectedComponents]] plus the number of propagation rounds the
+    * fixpoint took — returned per-call (the `lastRounds` var is a shared
+    * diagnostic that races under concurrent calls; the convergence-shape
+    * assertions in DedupSpec read this instead).
+    */
+  def connectedComponentsWithRounds(
+      vertices: DataFrame,
+      edges: DataFrame,
+      maxRounds: Int = 20
+  ): (DataFrame, Int) = {
     val sym = edges.select(col("src"), col("dst"))
       .union(edges.select(col("dst").as("src"), col("src").as("dst")))
       .distinct()
@@ -151,6 +163,6 @@ object Dedup {
       .join(labels.select(col("id")), Seq("id"), "left_anti")
       .withColumn("comp", col("id"))
     sym.unpersist()
-    labels.union(isolated)
+    (labels.union(isolated), round)
   }
 }

@@ -112,10 +112,13 @@ object StreamingPipeline {
     * restores unbounded NoTimeout retention — REQUIRED for bounded
     * replays driven by `processAllAvailable()`: with a processing-time
     * timeout armed, the engine keeps scheduling timeout-check batches and
-    * processAllAvailable never latches.
+    * processAllAvailable never latches. `ttlMs` is deliberately a
+    * REQUIRED parameter: the two modes have incompatible termination
+    * behavior, so every caller must choose (a defaulted TTL silently
+    * hands replay-style callers the mode that hangs them).
     */
   def nearDupFirstSeen(pages: Dataset[PageRow],
-      ttlMs: Long = 30L * 24 * 3600 * 1000): Dataset[PageRow] = {
+      ttlMs: Long): Dataset[PageRow] = {
     import pages.sparkSession.implicits._
     pages.groupByKey(p => minhashSignature(p.text))
       .flatMapGroupsWithState[Boolean, PageRow](

@@ -74,11 +74,11 @@ class DedupSpec extends AnyFunSuite {
     val n = 1000L
     val verts = (0L until n).toDF("id")
     val edges = (0L until n - 1).map(i => (i, i + 1)).toDF("src", "dst")
-    val comp = Dedup.connectedComponents(verts, edges)
-      .agg(countDistinct(col("comp")), max(col("comp"))).first()
+    val (labels, rounds) = Dedup.connectedComponentsWithRounds(verts, edges)
+    val comp = labels.agg(countDistinct(col("comp")), max(col("comp"))).first()
     assert(comp.getLong(0) == 1L && comp.getLong(1) == 0L)
-    assert(Dedup.lastRounds <= 12,
-      s"pointer jumping degraded: ${Dedup.lastRounds} rounds for diameter ${n - 1}")
+    assert(rounds <= 12,
+      s"pointer jumping degraded: $rounds rounds for diameter ${n - 1}")
   }
 
   test("reliable checkpoint path: used when a dir is set, stale rounds deleted") {

@@ -42,6 +42,58 @@ class ReadingOrderSpec extends AnyFunSuite {
     val blocks = HtmlBlocks.segment(graft.fixtures.PagesGen.page(2L).row.html)
     assert(ReadingOrder.sort(blocks) == blocks)
   }
+
+  /** The naive O(n^3) pair loop exactly as psegutils.py:114-135 writes it —
+    * the reference implementation the production `order` must match
+    * bit-for-bit (it restructures the separator scan for speed).
+    */
+  private def naiveOrder(boxes: IndexedSeq[Box]): Array[Array[Boolean]] = {
+    val n = boxes.length
+    val o = Array.ofDim[Boolean](n, n)
+    for (i <- 0 until n; j <- 0 until n) {
+      val u = boxes(i); val v = boxes(j)
+      if (ReadingOrder.xOverlaps(u, v)) {
+        if (ReadingOrder.above(u, v)) o(i)(j) = true
+      } else if (!boxes.exists(w => ReadingOrder.separates(w, u, v))) {
+        if (ReadingOrder.leftOf(u, v)) o(i)(j) = true
+      }
+    }
+    o
+  }
+
+  test("restructured order() is bit-identical to the naive triple loop (fuzz)") {
+    val rng = new scala.util.Random(7)
+    (1 to 40).foreach { _ =>
+      val n = 1 + rng.nextInt(25)
+      val boxes = IndexedSeq.fill(n) {
+        val y0 = rng.nextInt(50).toDouble; val x0 = rng.nextInt(120).toDouble
+        // mix of normal boxes, tall separators, wide bands, zero-width slivers
+        Box(y0, y0 + 1 + rng.nextInt(30), x0, x0 + rng.nextInt(60))
+      }
+      val fast = ReadingOrder.order(boxes)
+      val slow = naiveOrder(boxes)
+      assert(fast.map(_.toSeq).toSeq == slow.map(_.toSeq).toSeq,
+        s"order mismatch on $boxes")
+    }
+  }
+
+  test("pathological 2k-box page finishes in bounded time (VERDICT r4 #7)") {
+    // 2 columns x 1000 rows: 1M+ non-overlapping pairs, each of which
+    // used to pay an O(n) separator scan (~8e9 separates calls, tens of
+    // seconds); the candidate-prefilter + x1-desc early exit makes every
+    // scan O(1) here. Generous wall bound — an O(n^3) regression is two
+    // orders of magnitude over it.
+    val boxes = (0 until 1000).flatMap { r =>
+      Seq(Box(r, r + 0.8, 0, 40), Box(r, r + 0.8, 60, 100))
+    }.toIndexedSeq
+    val t0 = System.nanoTime()
+    val sorted = ReadingOrder.topsort(ReadingOrder.order(boxes))
+    val sec = (System.nanoTime() - t0) / 1e9
+    assert(sorted.length == 2000)
+    // left column fully precedes right column; rows stay top-down
+    assert(sorted.take(3) == Seq(0, 2, 4) && sorted(1000) == 1, s"got ${sorted.take(5)}")
+    assert(sec < 10.0, f"order+topsort took $sec%.1f s on 2000 boxes")
+  }
 }
 
 class LangStatsSpec extends AnyFunSuite {

@@ -269,6 +269,21 @@ object SparkEntry {
     "q47_head_eval" -> ((s, _) =>
       graft.pipeline.Pipeline.headEval(s, 300L, 400L)),
 
+    // per-book improvement/deterioration report (div/eval.py:96-321's
+    // per-book accuracy + total rollup role): pages [300, 900) scored by
+    // case-folded positional token distance to golden, master extraction
+    // vs production-corrected text, bucketed improved/worsened/unchanged
+    // per book (url host) with a __total ROLLUP row. The [700, 900)
+    // slice injects MISLEADING garbles (PagesGen.misleadTriples) that
+    // the channel model provably "corrects" away from the truth, so the
+    // worsened counters are nonzero generator facts. The oracle derives
+    // every page's two distances from construction knowledge and
+    // aggregates the same rollup.
+    "q54_book_eval" -> ((s, _) => {
+      import s.implicits._
+      graft.pipeline.Pipeline.bookEval(s, 300L, 600L)
+    }),
+
     // external-recognizer prediction import (div/importer.py:130-203):
     // parse the real predictions JSON schema (predictions[0].sentence +
     // per-char positions with chars[0].char/probability and
@@ -974,6 +989,22 @@ object SparkEntry {
         .orderBy(col("url"), col("block_id"))
     }),
 
+    // runtime parameter surface (GraftConfig, the ocrd-tool.json analog):
+    // the SAME segmentation under a NON-DEFAULT remove_noise floor
+    // (minBlockChars=15) — short titles must reclassify as boilerplate,
+    // and the oracle derives that classification independently from
+    // construction knowledge, so a config knob that fails to reach the
+    // operator (or reaches it with the wrong semantics) hash-fails.
+    "p17_config_segment" -> ((s, _) => {
+      import s.implicits._
+      val cfg = graft.pipeline.GraftConfig.default.copy(minBlockChars = 15)
+      Pipeline.segment(Pipeline.generate(s, 100), cfg)
+        .flatMap(p => p.blocks.map(b =>
+          (p.url, b.id, b.kind, b.span.start, b.span.stop, b.text)))
+        .toDF("url", "block_id", "kind", "span_start", "span_stop", "text")
+        .orderBy(col("url"), col("block_id"))
+    }),
+
     "p02_extract_text" -> ((s, _) => {
       import s.implicits._
       Pipeline.segment(Pipeline.generate(s, 100))
@@ -1249,6 +1280,21 @@ object SparkEntry {
         |  UNION ALL SELECT 'rrdm', 'accepted_wrong', 0 FROM agg
         |  UNION ALL SELECT 'rrdm', 'false_vetoes', 0 FROM agg)
         |ORDER BY head, metric""".stripMargin,
+    // expected side: per-page master/corrected distances derived from
+    // generator facts (fixtures/Expected bookeval comment for the
+    // per-token classes incl. the misleading-garble deterioration class),
+    // aggregated with the same per-book buckets + ROLLUP total
+    "q54_book_eval" ->
+      """SELECT coalesce(book, '__total') AS book,
+        |  CAST(count(*) AS BIGINT) AS n_pages,
+        |  CAST(sum(CASE WHEN corrected_dist < master_dist THEN 1 ELSE 0 END) AS BIGINT) AS improved,
+        |  CAST(sum(CASE WHEN corrected_dist > master_dist THEN 1 ELSE 0 END) AS BIGINT) AS worsened,
+        |  CAST(sum(CASE WHEN corrected_dist = master_dist THEN 1 ELSE 0 END) AS BIGINT) AS unchanged,
+        |  CAST(sum(master_dist) AS BIGINT) AS master_dist,
+        |  CAST(sum(corrected_dist) AS BIGINT) AS corrected_dist
+        |FROM read_parquet('/tmp/graft_expected/bookeval.parquet/*.parquet')
+        |GROUP BY ROLLUP(book)
+        |ORDER BY book""".stripMargin,
     // expected side: the layout generator's CONSTRUCTION order (title
     // first, column-major), no geometric code involved
     "q49_layout_order" ->
@@ -1593,6 +1639,12 @@ object SparkEntry {
     "p01_segment_blocks" ->
       """SELECT url, block_id, kind, span_start, span_stop, text
         |FROM read_parquet('/tmp/graft_expected/blocks.parquet/*.parquet')
+        |ORDER BY url, block_id""".stripMargin,
+    // expected side: blocksOf re-derived with the same non-default floor
+    // (fixture-build asserts the knob reclassifies at least one block)
+    "p17_config_segment" ->
+      """SELECT url, block_id, kind, span_start, span_stop, text
+        |FROM read_parquet('/tmp/graft_expected/blocks_cfg.parquet/*.parquet')
         |ORDER BY url, block_id""".stripMargin,
     "p02_extract_text" ->
       """SELECT url, extracted_text

@@ -72,7 +72,10 @@ object HtmlBlocks {
   }
 
   /** Decode bytes (UTF-8, Latin-1 fallback) and segment into blocks. */
-  def segment(htmlBytes: Array[Byte]): Seq[Block] = {
+  def segment(htmlBytes: Array[Byte]): Seq[Block] =
+    segment(htmlBytes, minBlockChars, maxLinkDensity)
+
+  def segment(htmlBytes: Array[Byte], minChars: Int, maxLink: Double): Seq[Block] = {
     val html =
       try {
         val dec = StandardCharsets.UTF_8.newDecoder()
@@ -83,10 +86,17 @@ object HtmlBlocks {
         case _: java.nio.charset.CharacterCodingException =>
           new String(htmlBytes, StandardCharsets.ISO_8859_1)
       }
-    segmentString(html)
+    segmentString(html, minChars, maxLink)
   }
 
-  def segmentString(html: String): Seq[Block] = {
+  def segmentString(html: String): Seq[Block] =
+    segmentString(html, minBlockChars, maxLinkDensity)
+
+  /** Threshold-parameterized variant (GraftConfig knobs: the remove_noise
+    * floor and borderclean link-density cut); the no-arg overload keeps
+    * the shipped constants.
+    */
+  def segmentString(html: String, minChars: Int, maxLink: Double): Seq[Block] = {
     val s = new Scanner(html)
     val lowerHtml = html.toLowerCase
     val blocks = ArrayBuffer[Block]()
@@ -111,7 +121,7 @@ object HtmlBlocks {
         val linkDensity = linkChars.toDouble / tChars
         val textDensity = tChars.toDouble / (1 + tagsInBlock)
         val kind =
-          if (boilerDepth > 0 || linkDensity > maxLinkDensity || norm.length < minBlockChars)
+          if (boilerDepth > 0 || linkDensity > maxLink || norm.length < minChars)
             "boilerplate"
           else "text"
         emit(kind, Span(blockStart, blockStop), norm, textDensity, linkDensity)

@@ -108,9 +108,10 @@ object Profiler {
 
   /** Candidate generation for one token (already case-folded/stripped by the
     * caller). Deterministic: candidates ranked by (weight desc, suggestion
-    * asc) and capped at MaxCandidates.
+    * asc) and capped at `maxCandidates` (config.json:9; GraftConfig knob).
     */
-  def candidates(token: String, lex: Lexicon): Seq[Candidate] = {
+  def candidates(token: String, lex: Lexicon,
+      maxCandidates: Int = MaxCandidates): Seq[Candidate] = {
     if (token.isEmpty) return Nil
     val found = mutable.LinkedHashMap.empty[String, Candidate]
 
@@ -170,7 +171,7 @@ object Profiler {
 
     found.values.toSeq
       .sortBy(c => (-c.weight, c.suggestion))
-      .take(MaxCandidates)
+      .take(maxCandidates)
   }
 }
 
@@ -379,7 +380,8 @@ object Corrector {
     */
   def classifyToken(raw: String, ctx: Seq[String], wordConf: Double,
       glyphConfs: Seq[Double], linePos: Double, lineOverlap: Double,
-      lex: Lexicon, runLE: Boolean): (String, String) = {
+      lex: Lexicon, runLE: Boolean, dynLex: Set[String] = Set.empty,
+      maxCandidates: Int = Profiler.MaxCandidates): (String, String) = {
     contextOf(raw, ctx, wordConf, glyphConfs, linePos, lineOverlap) match {
       case None => (raw, "non_alnum")
       case Some(t) =>
@@ -387,8 +389,12 @@ object Corrector {
         // never need LE — skip candidate generation entirely. This is the
         // hot path: ~85% of tokens are clean lexicon words, and the
         // SymSpell neighborhood walk is the most expensive per-token step.
-        if (lex.contains(t.token)) return (raw, "in_lexicon")
-        val cands = Profiler.candidates(t.token, lex)
+        // `dynLex` is the corpus-global dynamic lexicon (the reference's
+        // dynamiclex artifact): tokens the LE head accepted corpus-wide
+        // are valid words here too (Pipeline.dynamicLexicon builds it).
+        if (lex.contains(t.token) || dynLex.contains(t.token))
+          return (raw, "in_lexicon")
+        val cands = Profiler.candidates(t.token, lex, maxCandidates)
         // LE gate: an OOV token the LE model accepts is a valid word —
         // extend the (document-local) lexicon instead of correcting
         if (runLE && leScore(t, cands, lex) > 0.5)
@@ -417,9 +423,11 @@ object Corrector {
     */
   def correctToken(raw: String, ctx: Seq[String], wordConf: Double,
       glyphConfs: Seq[Double], linePos: Double, lineOverlap: Double,
-      lex: Lexicon, runLE: Boolean): (String, Boolean) = {
+      lex: Lexicon, runLE: Boolean, dynLex: Set[String] = Set.empty,
+      maxCandidates: Int = Profiler.MaxCandidates): (String, Boolean) = {
     val (applied, outcome) =
-      classifyToken(raw, ctx, wordConf, glyphConfs, linePos, lineOverlap, lex, runLE)
+      classifyToken(raw, ctx, wordConf, glyphConfs, linePos, lineOverlap, lex,
+        runLE, dynLex, maxCandidates)
     (applied, outcome == "dm_accepted")
   }
 

@@ -41,9 +41,14 @@ object Expected {
 
   /** Expected segmentation of page i: block ids, kinds, byte spans and
     * normalized texts, located by sequential string search over the HTML
-    * that PagesGen constructed.
+    * that PagesGen constructed. `minBlockChars` mirrors the engine's
+    * remove_noise floor (GraftConfig knob): a content block shorter than
+    * it is classified boilerplate — the p17 config-query oracle derives
+    * the non-default classification from construction knowledge.
     */
-  def blocksOf(i: Long): Seq[ExpBlock] = {
+  def blocksOf(i: Long, minBlockChars: Int = graft.core.HtmlBlocks.minBlockChars): Seq[ExpBlock] = {
+    def textKind(txt: String): String =
+      if (txt.length < minBlockChars) "boilerplate" else "text"
     val tp = PagesGen.page(i)
     val h = new String(tp.row.html, Utf8)
     val url = tp.row.url
@@ -75,10 +80,11 @@ object Expected {
     val navStop = locate(navLast) + navLast.length
     emit("boilerplate", navStart, navStop, "Home About More links here")
 
-    // <h1> — the title text line
+    // <h1> — the title text line (short titles fall below a raised
+    // remove_noise floor and reclassify as boilerplate)
     val h1 = cap(tp.titlePair._2)
     val h1Start = locate("<h1>" + h1) + 4
-    emit("text", h1Start, h1Start + h1.length, h1)
+    emit(textKind(h1), h1Start, h1Start + h1.length, h1)
 
     // paragraphs, with the <hr/> separator before paragraph nLines/2
     val nLines = tp.linePairs.length
@@ -89,7 +95,7 @@ object Expected {
       }
       val content = cap(corr)
       val pStart = locate("<p>" + content) + 3
-      emit("text", pStart, pStart + content.length, content)
+      emit(textKind(content), pStart, pStart + content.length, content)
     }
 
     // <img .../> — whole-tag span
@@ -159,8 +165,17 @@ object Expected {
     import spark.implicits._
     val ids = (0L until n.toLong)
 
-    val blocks = ids.flatMap(blocksOf)
+    val blocks = ids.flatMap(blocksOf(_))
     blocks.toDF().coalesce(1).write.mode("overwrite").parquet(s"$dir/blocks.parquet")
+
+    // non-default-config segmentation (p17): remove_noise floor raised to
+    // 15 visible chars — short titles reclassify as boilerplate. The knob
+    // must actually BITE on this corpus, or the config query would pass
+    // vacuously against the default classification.
+    val cfgBlocks = ids.flatMap(blocksOf(_, minBlockChars = 15))
+    require(cfgBlocks.count(_.kind == "text") < blocks.count(_.kind == "text"),
+      "minBlockChars=15 reclassified nothing — p17 would not discriminate")
+    cfgBlocks.toDF().coalesce(1).write.mode("overwrite").parquet(s"$dir/blocks_cfg.parquet")
 
     ids.flatMap(i => clippedBlocksOf(i))
       .toDF("url", "block_id", "span_start", "span_stop")
@@ -325,15 +340,85 @@ object Expected {
       (tp.titlePair +: tp.linePairs).foreach { case (t, c) =>
         t.split(" ", -1).zip(c.split(" ", -1)).foreach { case (tw, cw) =>
           if (tw != cw) {
-            if (!cw.exists(_.isLetterOrDigit)) nSym += 1
-            else if (cw.head.isUpper) nEnt += 1
-            else nCorrectable += 1
+            // classification invariant (ADVICE r4): garble SHAPES may only
+            // occur inside the deliberate-garble range — a future channel
+            // pattern or capitalization tweak producing an all-punct or
+            // capitalized corruption elsewhere would silently desync the
+            // per-class counts, so it fails loudly at fixture-build time
+            if (!cw.exists(_.isLetterOrDigit)) {
+              require(i >= 500 && i < 700,
+                s"page $i: symbol-garble shape '$tw'->'$cw' outside [500,700)")
+              nSym += 1
+            } else if (cw.head.isUpper) {
+              require(i >= 500 && i < 700,
+                s"page $i: entity-garble shape '$tw'->'$cw' outside [500,700)")
+              nEnt += 1
+            } else nCorrectable += 1
           }
         }
       }
       (tp.row.url, tp.trueText, nCorrectable, nSym, nEnt, nTokens)
     }.toDF("url", "golden", "n_correctable", "n_garble_sym", "n_garble_ent", "n_tokens")
       .coalesce(1).write.mode("overwrite").parquet(s"$dir/headeval.parquet")
+
+    // expected per-book eval (q54): per page of [300, 900), the master
+    // extraction's and the corrected text's CER-style token distance to
+    // golden (case-folded positional word levenshtein), derived from the
+    // generator's construction facts:
+    //  - clean token                  -> 0 / 0
+    //  - correctable corruption       -> d / 0      (engine must fix it)
+    //  - symbol / pseudo-entity garble-> d / d      (missed / LE-protected)
+    //  - MISLEADING garble (t, w, c)  -> d / lev(t, w)  (the channel model
+    //    "corrects" c to the wrong source w — the deterioration class,
+    //    PagesGen.misleadTriples, pages [700, 900) only)
+    // The q54 oracle aggregates this table per book (url host) with a
+    // ROLLUP total; the engine must reproduce it by replaying production
+    // correction — so a head regression that breaks or worsens ANY page
+    // bucket shows up as a hash mismatch.
+    val bookRows = (300L until 900L).map { i =>
+      val tp = PagesGen.page(i)
+      val mis = PagesGen.misleadTriples(tp.row.lang)
+        .map(tr => (tr._1, tr._3) -> tr._2).toMap
+      var master = 0L; var corrected = 0L
+      (tp.titlePair +: tp.linePairs).foreach { case (t, c) =>
+        t.split(" ", -1).zip(c.split(" ", -1)).foreach { case (tw, cw) =>
+          val d = graft.core.Edist.levenshtein(tw.toLowerCase, cw.toLowerCase).toLong
+          master += d
+          if (tw != cw) {
+            mis.get((tw, cw)) match {
+              case Some(w) =>
+                require(i >= 700 && i < 900,
+                  s"page $i: mislead pair '$tw'->'$cw' outside [700,900)")
+                corrected += graft.core.Edist.levenshtein(tw.toLowerCase, w).toLong
+              case None =>
+                // garble shapes may ONLY occur in the hard-eval range —
+                // anywhere else they would silently reclassify a
+                // correctable corruption (ADVICE r4: assert the
+                // generator/classifier contract at fixture-build time)
+                if (!cw.exists(_.isLetterOrDigit)) {
+                  require(i >= 500 && i < 700,
+                    s"page $i: symbol-garble shape '$tw'->'$cw' outside [500,700)")
+                  corrected += d
+                } else if (cw.head.isUpper) {
+                  require(i >= 500 && i < 700,
+                    s"page $i: entity-garble shape '$tw'->'$cw' outside [500,700)")
+                  corrected += d
+                }
+                // else: correctable — engine restores the truth -> 0
+            }
+          }
+        }
+      }
+      val book = tp.row.url.stripPrefix("https://").takeWhile(_ != '.')
+      (book, tp.row.url, master, corrected)
+    }
+    // the eval corpus must exercise all three buckets, or the report
+    // degenerates (VERDICT r4 #4: nonzero improved AND worsened)
+    require(bookRows.exists(r => r._4 < r._3), "no improved pages in [300,900)")
+    require(bookRows.exists(r => r._4 > r._3), "no worsened pages in [300,900)")
+    require(bookRows.exists(r => r._4 == r._3), "no unchanged pages in [300,900)")
+    bookRows.toDF("book", "url", "master_dist", "corrected_dist")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/bookeval.parquet")
 
     // expected prediction import (q48): the importer algorithm
     // (div/importer.py:150-203) re-run as a DIRECT driver-side scan over

@@ -56,6 +56,22 @@ object PagesGen {
     */
   val histPatterns: Seq[(String, String)] = Seq(("t", "th"))
 
+  /** MISLEADING garbles (q54 per-book improvement/deterioration eval,
+    * div/eval.py:96-321 role): truth `t` observed as `c`, where `c` is the
+    * OCR-pattern corruption of a DIFFERENT lexicon word `w` — the channel
+    * model deterministically "corrects" c → w, moving the text FURTHER
+    * from truth (each triple satisfies lev(t,c) = lev(t,w) − 1, so every
+    * occurrence worsens the page's distance by exactly 1). Only pages
+    * [700, 900) carry them; all other ranges keep the round-4 corpus
+    * byte-identical. Triples are chosen so `c` is unambiguous: it can
+    * never arise from the normal corruption path with the same truth
+    * (corrupt(t) cannot produce c), so the expected-table classifier keys
+    * on the exact (t, c) pair.
+    */
+  val misleadTriples: Map[String, IndexedSeq[(String, String, String)]] = Map(
+    "en" -> IndexedSeq(("for", "sort", "fort"), ("from", "stream", "ftream")),
+    "de" -> IndexedSeq(("sich", "die", "dic"), ("auch", "aber", "abcr")))
+
   // built once per JVM (deterministic), not per page — a per-page build
   // churns ~200 map entries of garbage per document in the hot path
   private lazy val cachedDe: Lexicon = {
@@ -146,10 +162,18 @@ object PagesGen {
     //    correcting (le_extended on a CORRUPTED token = false_extension
     //    AND missed)
     val garbleRate = if (i >= 500 && i < 700) 0.06 else 0.0
+    // misleading garbles (see misleadTriples) live in their own page range
+    // [700, 900), q54's eval slice; the rate guard short-circuits so the
+    // RNG draw sequence of every other range is untouched
+    val misleads = misleadTriples(lang)
+    val misleadRate = if (i >= 700 && i < 900) 0.06 else 0.0
     val symbolSoup = IndexedSeq("?!?", "!?!", "??!", "!!?")
     def line(n: Int): (String, String) = { // (true, corrupted)
       val pairs = Seq.fill(n) {
-        if (garbleRate > 0 && rng.nextDouble() < garbleRate) {
+        if (misleadRate > 0 && rng.nextDouble() < misleadRate) {
+          val (t, _, c) = misleads(rng.nextInt(misleads.length))
+          (t, c)
+        } else if (garbleRate > 0 && rng.nextDouble() < garbleRate) {
           if (rng.nextBoolean()) {
             (sampleWord(), symbolSoup(rng.nextInt(symbolSoup.length)))
           } else {

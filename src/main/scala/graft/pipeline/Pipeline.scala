@@ -244,6 +244,28 @@ object Pipeline {
     cachedProfile
   }
 
+  /** Drop the per-JVM profile cache; the next [[defaultProfile]] call
+    * re-learns. The explicit invalidation half of the reference's
+    * `noCache` control (postcorrect/cli.py:34-38).
+    */
+  def invalidateProfileCache(): Unit = synchronized { cachedProfile = null }
+
+  /** Profile resolution under a [[GraftConfig]]: `profileNoCache` (the
+    * reference's noCache param) re-learns fresh every call with the
+    * config's floor/cap, leaving the JVM cache untouched; otherwise the
+    * per-JVM cache serves default-knob configs and non-default knobs
+    * learn (uncached — a non-default profile must never poison the
+    * default cache other entry points share).
+    */
+  def profileFor(spark: SparkSession, cfg: GraftConfig): Profile = {
+    val defaultKnobs =
+      cfg.profileMinCount == GraftConfig.default.profileMinCount &&
+        cfg.profileMaxPatterns == GraftConfig.default.profileMaxPatterns
+    if (!cfg.profileNoCache && defaultKnobs) defaultProfile(spark)
+    else learnProfile(spark, minCount = cfg.profileMinCount,
+      maxPatterns = cfg.profileMaxPatterns)
+  }
+
   // ---- Stage D: correction ----
 
   /** Per-token Corrector inputs of one aligned line. */
@@ -398,6 +420,20 @@ object Pipeline {
     }
   }
 
+  /** Config-driven spellings of the dynamic-lexicon pair: profile
+    * resolution ([[profileFor]]) and the dynamiclex floor/bound flow
+    * from the [[GraftConfig]] instead of per-call arguments.
+    */
+  def dynamicLexicon(aligned: Dataset[AlignedPage],
+      cfg: GraftConfig): org.apache.spark.sql.DataFrame =
+    dynamicLexicon(aligned, profileFor(aligned.sparkSession, cfg),
+      cfg.dynLexMinCount, cfg.dynLexTopN)
+
+  def correctWithDynamicLexicon(aligned: Dataset[AlignedPage],
+      cfg: GraftConfig): Dataset[CorrectedPage] =
+    correctWithDynamicLexicon(aligned, profileFor(aligned.sparkSession, cfg),
+      cfg.dynLexMinCount, cfg.dynLexTopN, cfg.runLE)
+
   /** Full pipeline: one narrow map chain, zero shuffles. */
   def run(pages: Dataset[PageRow]): Dataset[CorrectedPage] =
     correct(align(segment(pages)))
@@ -409,14 +445,15 @@ object Pipeline {
   }
 
   /** Full pipeline under an explicit [[GraftConfig]] — every processor
-    * knob (extractor list, segmentation thresholds, maxCandidates, runLE)
-    * flows from the config; `run(pages, GraftConfig.default)` is
-    * byte-identical to `run(pages)` (ConfigSpec pins it).
+    * knob (extractor list, segmentation thresholds, profile learning
+    * floor/cap/noCache, maxCandidates, runLE) flows from the config;
+    * `run(pages, GraftConfig.default)` is byte-identical to `run(pages)`
+    * (ConfigSpec pins it).
     */
   def run(pages: Dataset[PageRow], cfg: GraftConfig): Dataset[CorrectedPage] = {
     val spark = pages.sparkSession
     import spark.implicits._
-    val profile = defaultProfile(spark)
+    val profile = profileFor(spark, cfg)
     val bde = spark.sparkContext.broadcast(lexiconWith("de", profile))
     val ben = spark.sparkContext.broadcast(lexiconWith("en", profile))
     align(segment(pages, cfg), cfg.extractors)

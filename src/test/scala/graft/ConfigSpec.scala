@@ -54,4 +54,35 @@ class ConfigSpec extends AnyFunSuite {
     intercept[IllegalArgumentException](GraftConfig(maxCandidates = 0))
     intercept[IllegalArgumentException](GraftConfig(extractors = Nil))
   }
+
+  test("profileFor: cache semantics (noCache analog) and knob isolation") {
+    // default knobs -> the per-JVM cached instance, call after call
+    val p1 = Pipeline.profileFor(spark, GraftConfig.default)
+    val p2 = Pipeline.profileFor(spark, GraftConfig.default)
+    assert(p1 eq p2, "default-knob profile should be the cached instance")
+    assert(p1 eq Pipeline.defaultProfile(spark))
+    // noCache re-learns fresh (new instance, same content) and leaves the
+    // shared cache untouched
+    val fresh = Pipeline.profileFor(spark,
+      GraftConfig.default.copy(profileNoCache = true))
+    assert(!(fresh eq p1) && fresh == p1,
+      "noCache must re-learn an equal profile without reusing the cache")
+    assert(Pipeline.defaultProfile(spark) eq p1)
+    // non-default knobs learn uncached and never poison the default cache
+    val capped = Pipeline.profileFor(spark,
+      GraftConfig.default.copy(profileMaxPatterns = 2))
+    assert(capped.patterns.length <= 2 &&
+      capped.patterns == p1.patterns.take(2))
+    assert(Pipeline.defaultProfile(spark) eq p1)
+    // explicit invalidation: next default resolution re-learns
+    Pipeline.invalidateProfileCache()
+    val relearned = Pipeline.profileFor(spark, GraftConfig.default)
+    assert(!(relearned eq p1) && relearned == p1)
+    // dynlex knobs flow through the config spelling
+    import spark.implicits._
+    val aligned = Pipeline.align(Pipeline.segment(Pipeline.generate(spark, 30)))
+    val dynCfg = Pipeline.dynamicLexicon(aligned,
+      GraftConfig.default.copy(dynLexTopN = 2)).collect()
+    assert(dynCfg.groupBy(_.getString(0)).values.forall(_.length <= 2))
+  }
 }

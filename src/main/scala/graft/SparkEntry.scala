@@ -881,6 +881,98 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    // repetition-based quality gate (the Gopher-rule family: fraction of
+    // content inside the most frequent word 2-gram, duplicated 5-gram
+    // occurrences, distinct-token ratio). Entirely ROW-LOCAL: sort the
+    // per-doc n-gram array once and fold run lengths with an `aggregate`
+    // HOF — no explode, no shuffle, so at 100 TB this is a pure map stage
+    // whose cost is O(tokens log tokens) per document. Tie on the max
+    // count resolves to the lexicographically smallest 2-gram (the sorted
+    // fold only replaces the champion on a STRICTLY longer run).
+    "q55_repetition_filter" -> ((s, dir) => {
+      t(s, dir, "documents")
+        .select(col("doc_id"), split(col("text"), " ").as("ts"))
+        .withColumn("bgs", expr(
+          """IF(size(ts) < 2, array(),
+            |   array_sort(zip_with(slice(ts, 1, size(ts) - 1),
+            |                       slice(ts, 2, size(ts) - 1),
+            |                       (a, b) -> concat(a, ' ', b))))""".stripMargin))
+        .withColumn("fgs", expr(
+          """IF(size(ts) < 5, array(),
+            |   array_sort(transform(sequence(1, size(ts) - 4),
+            |                        i -> array_join(slice(ts, i, 5), ' '))))""".stripMargin))
+        .withColumn("top", expr(
+          """aggregate(bgs,
+            |  named_struct('prev', CAST(NULL AS STRING), 'run', 0L,
+            |               'best', 0L, 'bstr', ''),
+            |  (acc, x) -> named_struct(
+            |    'prev', x,
+            |    'run',  IF(x <=> acc.prev, acc.run + 1, 1L),
+            |    'best', IF(IF(x <=> acc.prev, acc.run + 1, 1L) > acc.best,
+            |               IF(x <=> acc.prev, acc.run + 1, 1L), acc.best),
+            |    'bstr', IF(IF(x <=> acc.prev, acc.run + 1, 1L) > acc.best,
+            |               x, acc.bstr)),
+            |  acc -> named_struct('cnt', acc.best, 'bg', acc.bstr))""".stripMargin))
+        .withColumn("dup5_occ", expr(
+          """aggregate(fgs,
+            |  named_struct('prev', CAST(NULL AS STRING), 'run', 0L, 'dup', 0L),
+            |  (acc, x) -> named_struct(
+            |    'prev', x,
+            |    'run', IF(x <=> acc.prev, acc.run + 1, 1L),
+            |    'dup', acc.dup + IF(x <=> acc.prev,
+            |                        IF(acc.run = 1, 2L, 1L), 0L)),
+            |  acc -> acc.dup)""".stripMargin))
+        .select(col("doc_id"),
+          size(col("ts")).cast("long").as("n_tokens"),
+          size(array_distinct(col("ts"))).cast("long").as("n_distinct"),
+          col("top.bg").as("top_bigram"),
+          col("top.cnt").as("top_bigram_cnt"),
+          col("dup5_occ"))
+        .withColumn("keep",
+          col("top_bigram_cnt") * 25 <= col("n_tokens") &&
+            col("dup5_occ") * 4 <= col("n_tokens") &&
+            col("n_distinct") * 3 >= col("n_tokens"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // deterministic corpus split + mixing report: hash-of-id bucketing
+    // (stable under reshuffles/re-ingest, no RNG state) into
+    // train/val/test, then per-(split, lang) doc/token/char budgets —
+    // the mixture table an LLM-data pipeline feeds its sampler.
+    // Map-side-combinable: one partial-agg shuffle of ≤ |splits|×|langs|
+    // rows per partition regardless of corpus size.
+    "q56_split_mix" -> ((s, dir) => {
+      val bucket = conv(substring(md5(to_binary(
+        concat(lit("split:"), col("doc_id").cast("string")), lit("utf-8"))),
+        1, 4), 16, 10).cast("long") % 10
+      t(s, dir, "documents")
+        .withColumn("b", bucket)
+        .withColumn("split",
+          when(col("b") < 8, "train").when(col("b") === 8, "val")
+            .otherwise("test"))
+        .groupBy(col("split"), col("lang"))
+        .agg(count(lit(1)).as("docs"),
+          sum(size(split(col("text"), " ")).cast("long")).as("tokens"),
+          sum(length(col("text")).cast("long")).as("chars"))
+        .orderBy(col("split"), col("lang"))
+    }),
+
+    // stratified deterministic sample: per-source top-k by content hash
+    // (reservoir-sampling role with zero RNG state — the same k docs
+    // survive any re-run or re-partitioning). Window top-k per stratum;
+    // at scale the partial top-k folds map-side before the single
+    // per-stratum shuffle.
+    "q58_stratified_sample" -> ((s, dir) => {
+      val w = Window.partitionBy(col("source"))
+        .orderBy(col("h").asc, col("doc_id").asc)
+      t(s, dir, "documents")
+        .select(col("source"), col("doc_id"),
+          md5(to_binary(col("text"), lit("utf-8"))).as("h"))
+        .withColumn("rk", row_number().over(w).cast("long"))
+        .filter(col("rk") <= 3)
+        .orderBy(col("source"), col("rk"))
+    }),
+
     // anti-join "ignore mask" (segment.py:248-263 role): keys absent from
     // the other side, as a left_anti join
     "q25_anti_join" -> ((s, dir) => {
@@ -1168,6 +1260,27 @@ object SparkEntry {
       graft.sources.PagesTable.read(s, root)
         .groupBy(col("p_day")).agg(count(lit(1)).as("n_pages"))
         .orderBy(col("p_day"))
+    }),
+
+    // host-level crawl analytics: parse_url host/path extraction + per-host
+    // page/byte rollup. The synthetic corpus carries deliberate Zipf host
+    // skew (PagesGen cubes a uniform, concentrating mass on host0) — this
+    // is the reconnaissance query a crawl pipeline runs BEFORE choosing a
+    // salting/cap strategy, and the map-side-combinable agg keeps it one
+    // skew-immune partial-agg shuffle regardless of how hot a host is.
+    // Oracle: independent regexp parse over the expected media table
+    // (nBytes there is an independently-derived generator fact).
+    "p18_host_rollup" -> ((s, _) => {
+      import s.implicits._
+      Pipeline.generate(s, 100).toDF()
+        .select(expr("parse_url(url, 'HOST')").as("host"),
+          expr("parse_url(url, 'PATH')").as("path"),
+          length(col("html")).cast("long").as("bytes"))
+        .groupBy(col("host"))
+        .agg(count(lit(1)).as("n_pages"),
+          sum(col("bytes")).as("total_bytes"),
+          min(col("path")).as("first_path"))
+        .orderBy(col("host"))
     }),
 
     // CER/WER via the custom typed Aggregators (SURVEY §2.10): map-side
@@ -1616,6 +1729,67 @@ object SparkEntry {
       """SELECT doc_id,
         |  CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]')) AS BIGINT) AS n_bpe
         |FROM documents ORDER BY doc_id""".stripMargin,
+    "q55_repetition_filter" ->
+      """WITH toks AS (
+        |  SELECT doc_id, string_split(text, ' ') AS ts FROM documents
+        |), big AS (
+        |  SELECT doc_id,
+        |    unnest(list_transform(range(1, len(ts)),
+        |      i -> ts[CAST(i AS INT)] || ' ' || ts[CAST(i+1 AS INT)])) AS bg
+        |  FROM toks
+        |), bc AS (
+        |  SELECT doc_id, bg, count(*) AS cnt FROM big GROUP BY doc_id, bg
+        |), top AS (
+        |  SELECT doc_id, bg, cnt,
+        |    row_number() OVER (PARTITION BY doc_id
+        |                       ORDER BY cnt DESC, bg ASC) AS rk
+        |  FROM bc
+        |), five AS (
+        |  SELECT doc_id,
+        |    unnest(list_transform(range(1, len(ts) - 3),
+        |      i -> ts[CAST(i AS INT)] || ' ' || ts[CAST(i+1 AS INT)] || ' ' ||
+        |           ts[CAST(i+2 AS INT)] || ' ' || ts[CAST(i+3 AS INT)] || ' ' ||
+        |           ts[CAST(i+4 AS INT)])) AS fg
+        |  FROM toks
+        |), fc AS (
+        |  SELECT doc_id, fg, count(*) AS cnt FROM five GROUP BY doc_id, fg
+        |), dup AS (
+        |  SELECT doc_id,
+        |    CAST(coalesce(sum(cnt) FILTER (cnt > 1), 0) AS BIGINT) AS dup5_occ
+        |  FROM fc GROUP BY doc_id
+        |)
+        |SELECT t.doc_id,
+        |  CAST(len(ts) AS BIGINT) AS n_tokens,
+        |  CAST(len(list_distinct(ts)) AS BIGINT) AS n_distinct,
+        |  coalesce(top.bg, '') AS top_bigram,
+        |  CAST(coalesce(top.cnt, 0) AS BIGINT) AS top_bigram_cnt,
+        |  coalesce(dup.dup5_occ, 0) AS dup5_occ,
+        |  (CAST(coalesce(top.cnt, 0) AS BIGINT) * 25 <= len(ts)
+        |   AND coalesce(dup.dup5_occ, 0) * 4 <= len(ts)
+        |   AND CAST(len(list_distinct(ts)) AS BIGINT) * 3 >= len(ts)) AS keep
+        |FROM toks t
+        |LEFT JOIN top ON t.doc_id = top.doc_id AND top.rk = 1
+        |LEFT JOIN dup ON t.doc_id = dup.doc_id
+        |ORDER BY t.doc_id""".stripMargin,
+    "q56_split_mix" ->
+      """WITH s AS (
+        |  SELECT *,
+        |    ('0x' || substr(md5('split:' || CAST(doc_id AS VARCHAR)), 1, 4))::BIGINT
+        |      % 10 AS b
+        |  FROM documents
+        |)
+        |SELECT CASE WHEN b < 8 THEN 'train' WHEN b = 8 THEN 'val'
+        |            ELSE 'test' END AS split,
+        |  lang,
+        |  CAST(count(*) AS BIGINT) AS docs,
+        |  CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS tokens,
+        |  CAST(sum(length(text)) AS BIGINT) AS chars
+        |FROM s GROUP BY 1, 2 ORDER BY split, lang""".stripMargin,
+    "q58_stratified_sample" ->
+      """SELECT source, doc_id, md5(text) AS h,
+        |  CAST(row_number() OVER (PARTITION BY source
+        |                          ORDER BY md5(text), doc_id) AS BIGINT) AS rk
+        |FROM documents QUALIFY rk <= 3 ORDER BY source, rk""".stripMargin,
     "q25_anti_join" ->
       """SELECT o_orderkey FROM orders
         |WHERE o_orderkey NOT IN (SELECT l_orderkey FROM lineitem)
@@ -1734,6 +1908,13 @@ object SparkEntry {
     "p12_pages_table" ->
       """SELECT CAST(15706 + i // 24 AS INT) AS p_day, count(*) AS n_pages
         |FROM range(100) t(i) GROUP BY p_day ORDER BY p_day""".stripMargin,
+    "p18_host_rollup" ->
+      """SELECT regexp_extract(url, 'https://([^/]+)/', 1) AS host,
+        |  CAST(count(*) AS BIGINT) AS n_pages,
+        |  CAST(sum(nBytes) AS BIGINT) AS total_bytes,
+        |  min(regexp_extract(url, 'https://[^/]+(/.*)$', 1)) AS first_path
+        |FROM read_parquet('/tmp/graft_expected/media_meta.parquet/*.parquet')
+        |GROUP BY host ORDER BY host""".stripMargin,
     // p09's contract is structural: fixed featureDim=16 and
     // unit-normalized vectors (sum of squares = 1.0 exactly to 3 decimals
     // for every non-empty payload) — both independently checkable

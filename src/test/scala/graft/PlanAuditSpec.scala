@@ -182,4 +182,31 @@ class PlanAuditSpec extends AnyFunSuite {
     val p = plan(q(spark, sf))
     assert(p.contains("BroadcastHashJoin"), s"trigram LM not broadcast:\n$p")
   }
+
+  test("repetition filter is row-local: no hash-partition shuffle, no explode") {
+    val q = SparkEntry.queries("q55_repetition_filter")
+    val p = plan(q(spark, sf))
+    // per-doc n-gram stats fold inside the row (sorted-array run-length
+    // aggregate) — the only exchange allowed is the final orderBy's range
+    // partitioning; an explode+groupBy spelling would shuffle every n-gram
+    assert(!p.contains("Exchange hashpartitioning"),
+      s"repetition stats shuffled (explode+groupBy spelling?):\n$p")
+    assert(!p.toLowerCase.contains("generate"),
+      s"unexpected explode in row-local repetition stats:\n$p")
+  }
+
+  test("split-mix report aggregates map-side (partial + final)") {
+    val q = SparkEntry.queries("q56_split_mix")
+    val p = plan(q(spark, sf))
+    assert(p.contains("partial_"),
+      s"split mixing report lost map-side combine:\n$p")
+    assert(!p.contains("Join"), s"unexpected join in split mix:\n$p")
+  }
+
+  test("stratified sample is one per-stratum shuffle, no joins") {
+    val q = SparkEntry.queries("q58_stratified_sample")
+    val p = plan(q(spark, sf))
+    assert(!p.contains("Join"), s"unexpected join in stratified sample:\n$p")
+    assert(p.contains("row_number"), s"missing window rank:\n$p")
+  }
 }

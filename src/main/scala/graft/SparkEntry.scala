@@ -1022,6 +1022,33 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    // CCNet-style LM quality score: a char-trigram LM counted over the
+    // TRAIN split only (q56's deterministic hash buckets), then every doc
+    // scored by its total log2-frequency mass under that LM. The log2
+    // class is EXACT integer math (bit length of f+1), so partial-agg
+    // order can't perturb the sum the way float logprobs would; unseen
+    // trigrams contribute class 0. Scale shape: the LM is vocabulary-
+    // sized and broadcast, the probe side never shuffles before the
+    // per-doc partial agg (explode preserves row locality).
+    "q60_lm_quality" -> ((s, dir) => {
+      val bucket = conv(substring(md5(to_binary(
+        concat(lit("split:"), col("doc_id").cast("string")), lit("utf-8"))),
+        1, 4), 16, 10).cast("long") % 10
+      val tri = t(s, dir, "documents")
+        .select(col("doc_id"), bucket.as("b"),
+          explode(expr(
+            "transform(sequence(1, greatest(length(text) - 2, 1)), i -> substring(text, i, 3))"
+          )).as("g"))
+      val lm = tri.filter(col("b") < 8).groupBy(col("g"))
+        .agg(count(lit(1)).as("f"))
+      tri.join(broadcast(lm), Seq("g"), "left")
+        .withColumn("cls",
+          (length(bin(coalesce(col("f"), lit(0L)) + 1)) - 1).cast("long"))
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_tri"), sum(col("cls")).as("logfreq_sum"))
+        .orderBy(col("doc_id"))
+    }),
+
     // positional join (align/cli.py:63-79 role): i-th token of variant A vs
     // i-th token of variant B, joined on (doc_id, pos)
     "q34_pos_join" -> ((s, dir) => {
@@ -1816,6 +1843,25 @@ object SparkEntry {
         |freq AS (SELECT g, count(*) AS f FROM tri GROUP BY g)
         |SELECT doc_id, min(f) AS min_f, max(f) AS max_f
         |FROM tri JOIN freq USING (g) GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    "q60_lm_quality" ->
+      """WITH s AS (
+        |  SELECT doc_id, text,
+        |    ('0x' || substr(md5('split:' || CAST(doc_id AS VARCHAR)), 1, 4))::BIGINT
+        |      % 10 AS b
+        |  FROM documents
+        |), tri AS (
+        |  SELECT doc_id, b,
+        |    unnest(list_transform(range(1, greatest(length(text) - 2, 1) + 1),
+        |      i -> substr(text, CAST(i AS INT), 3))) AS g
+        |  FROM s
+        |), lm AS (
+        |  SELECT g, count(*) AS f FROM tri WHERE b < 8 GROUP BY g
+        |)
+        |SELECT tri.doc_id, CAST(count(*) AS BIGINT) AS n_tri,
+        |  CAST(sum(length(format('{:b}', coalesce(lm.f, 0) + 1)) - 1) AS BIGINT)
+        |    AS logfreq_sum
+        |FROM tri LEFT JOIN lm USING (g)
+        |GROUP BY tri.doc_id ORDER BY tri.doc_id""".stripMargin,
     "q34_pos_join" ->
       """WITH a AS (
         |  SELECT doc_id, i AS pos, string_split(text, ' ')[CAST(i AS INT)] AS tok_a

@@ -209,4 +209,13 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(!p.contains("Join"), s"unexpected join in stratified sample:\n$p")
     assert(p.contains("row_number"), s"missing window rank:\n$p")
   }
+
+  test("LM quality scoring broadcasts the LM; probe side never pre-shuffles") {
+    val q = SparkEntry.queries("q60_lm_quality")
+    val p = plan(q(spark, sf))
+    assert(p.contains("BroadcastHashJoin"), s"trigram LM not broadcast:\n$p")
+    assert(!p.contains("SortMergeJoin"), s"LM join degenerated to SMJ:\n$p")
+    // the per-doc sum must partial-aggregate before its shuffle
+    assert(p.contains("partial_"), s"per-doc score lost map-side combine:\n$p")
+  }
 }

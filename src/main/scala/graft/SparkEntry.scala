@@ -1006,16 +1006,18 @@ object SparkEntry {
     // (Max/MinCharNGramsFeature, config.json rrFeatures): corpus trigram
     // counts broadcast back onto each doc's trigrams
     "q33_trigram_freq" -> ((s, dir) => {
-      val tri = t(s, dir, "documents").select(col("doc_id"),
-        explode(expr(
-          "transform(sequence(1, greatest(length(text) - 2, 1)), i -> substring(text, i, 3))"
-        )).as("g"))
-      val freq = tri.groupBy(col("g")).agg(count(lit(1)).as("f"))
+      val triArr =
+        "transform(sequence(1, greatest(length(text) - 2, 1)), i -> substring(text, i, 3))"
+      val freq = t(s, dir, "documents")
+        .select(explode(expr(triArr)).as("g"))
+        .groupBy(col("g")).agg(count(lit(1)).as("f"))
       // min/max over a doc's trigram SET equals over its multiset, so the
-      // probe side dedupes (doc_id, g) before the broadcast-LM join —
-      // repeated trigrams within a doc (most of them, in natural text)
-      // never reach the join
-      tri.dropDuplicates("doc_id", "g")
+      // probe side dedupes ROW-LOCALLY (array_distinct before explode) —
+      // no (doc_id, g) distinct shuffle at all; the exploded rows stay
+      // doc-contiguous, so the per-doc min/max partial-aggregates to one
+      // row per doc before its shuffle
+      t(s, dir, "documents")
+        .select(col("doc_id"), explode(array_distinct(expr(triArr))).as("g"))
         .join(broadcast(freq), Seq("g"))
         .groupBy(col("doc_id"))
         .agg(min(col("f")).as("min_f"), max(col("f")).as("max_f"))

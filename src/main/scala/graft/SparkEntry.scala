@@ -1153,6 +1153,31 @@ object SparkEntry {
         .orderBy(col("url"), col("block_id"))
     }),
 
+    // cross-page boilerplate detection by document frequency (the CCNet
+    // line-dedup role at block granularity): a block whose exact text
+    // appears on >= 3 distinct pages is template chrome regardless of
+    // what the LOCAL density heuristics said — the frequency signal
+    // catches what per-page features cannot. Scale shape: the join keys
+    // on the md5 of the block text (16 bytes shuffle instead of the
+    // text; collision mass is negligible below ~2^64 blocks), the
+    // (hash, url) dedup and the df count both partial-aggregate
+    // map-side, and no side is assumed broadcastable (the distinct-text
+    // table is corpus-sized at web scale).
+    "p19_block_df" -> ((s, _) => {
+      import s.implicits._
+      val blocks = Pipeline.segment(Pipeline.generate(s, 100))
+        .flatMap(p => p.blocks.map(b => (p.url, b.id, b.kind, b.text)))
+        .toDF("url", "block_id", "kind", "text")
+        .withColumn("h", md5(to_binary(col("text"), lit("utf-8"))))
+      val dfCounts = blocks.select(col("h"), col("url"))
+        .dropDuplicates("h", "url")
+        .groupBy(col("h")).agg(count(lit(1)).as("df"))
+      blocks.join(dfCounts, Seq("h"))
+        .select(col("url"), col("block_id"), col("kind"), col("df"),
+          (col("df") >= 3).as("cross_page"))
+        .orderBy(col("url"), col("block_id"))
+    }),
+
     // runtime parameter surface (GraftConfig, the ocrd-tool.json analog):
     // the SAME segmentation under a NON-DEFAULT remove_noise floor
     // (minBlockChars=15) — short titles must reclassify as boilerplate,
@@ -1905,6 +1930,16 @@ object SparkEntry {
       """SELECT url, block_id, kind, span_start, span_stop, text
         |FROM read_parquet('/tmp/graft_expected/blocks.parquet/*.parquet')
         |ORDER BY url, block_id""".stripMargin,
+    "p19_block_df" ->
+      """WITH b AS (
+        |  SELECT url, block_id, kind, text
+        |  FROM read_parquet('/tmp/graft_expected/blocks.parquet/*.parquet')
+        |), df AS (
+        |  SELECT text, CAST(count(DISTINCT url) AS BIGINT) AS df
+        |  FROM b GROUP BY text
+        |)
+        |SELECT b.url, b.block_id, b.kind, df.df, df.df >= 3 AS cross_page
+        |FROM b JOIN df USING (text) ORDER BY url, block_id""".stripMargin,
     // expected side: blocksOf re-derived with the same non-default floor
     // (fixture-build asserts the knob reclassifies at least one block)
     "p17_config_segment" ->

@@ -210,6 +210,15 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(p.contains("row_number"), s"missing window rank:\n$p")
   }
 
+  test("cross-page block-df join keys on the 16-byte hash, not the text") {
+    val q = SparkEntry.queries("p19_block_df")
+    val p = plan(q(spark, sf))
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"block-df degenerated to a product join:\n$p")
+    // both the dedup and the df count must partial-aggregate map-side
+    assert(p.contains("partial_"), s"df count lost map-side combine:\n$p")
+  }
+
   test("LM quality scoring broadcasts the LM; probe side never pre-shuffles") {
     val q = SparkEntry.queries("q60_lm_quality")
     val p = plan(q(spark, sf))

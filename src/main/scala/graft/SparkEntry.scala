@@ -957,6 +957,30 @@ object SparkEntry {
         .orderBy(col("split"), col("lang"))
     }),
 
+    // benchmark decontamination: flag train-split docs sharing any
+    // 24-char shingle with the held-out test split (the n-gram-overlap
+    // decontamination every LLM data pipeline runs before training).
+    // Scale shape: the BENCHMARK side is the small one — its distinct
+    // shingle set broadcasts; the train corpus dedupes its shingles
+    // row-locally (array_distinct, no pre-shuffle) and the per-doc hit
+    // count partial-aggregates in place after the broadcast semi-join.
+    "q61_decontam" -> ((s, dir) => {
+      val L = 24
+      val bucket = conv(substring(md5(to_binary(
+        concat(lit("split:"), col("doc_id").cast("string")), lit("utf-8"))),
+        1, 4), 16, 10).cast("long") % 10
+      val sh = expr(
+        s"transform(sequence(1, greatest(length(text) - ${L - 1}, 1)), i -> substring(text, i, $L))")
+      val docs = t(s, dir, "documents").withColumn("b", bucket)
+      val testSh = docs.filter(col("b") === 9)
+        .select(explode(array_distinct(sh)).as("sh")).distinct()
+      docs.filter(col("b") < 8)
+        .select(col("doc_id"), explode(array_distinct(sh)).as("sh"))
+        .join(broadcast(testSh), Seq("sh"))
+        .groupBy(col("doc_id")).agg(count(lit(1)).as("n_hit"))
+        .orderBy(col("doc_id"))
+    }),
+
     // stratified deterministic sample: per-source top-k by content hash
     // (reservoir-sampling role with zero RNG state — the same k docs
     // survive any re-run or re-partitioning). Window top-k per stratum;
@@ -1839,6 +1863,27 @@ object SparkEntry {
         |  CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS tokens,
         |  CAST(sum(length(text)) AS BIGINT) AS chars
         |FROM s GROUP BY 1, 2 ORDER BY split, lang""".stripMargin,
+    "q61_decontam" ->
+      """WITH s AS (
+        |  SELECT doc_id, text,
+        |    ('0x' || substr(md5('split:' || CAST(doc_id AS VARCHAR)), 1, 4))::BIGINT
+        |      % 10 AS b
+        |  FROM documents
+        |), test_sh AS (
+        |  SELECT DISTINCT
+        |    unnest(list_transform(range(1, greatest(length(text) - 23, 1) + 1),
+        |      i -> substr(text, CAST(i AS INT), 24))) AS sh
+        |  FROM s WHERE b = 9
+        |), tr AS (
+        |  SELECT doc_id,
+        |    unnest(list_distinct(list_transform(
+        |      range(1, greatest(length(text) - 23, 1) + 1),
+        |      i -> substr(text, CAST(i AS INT), 24)))) AS sh
+        |  FROM s WHERE b < 8
+        |)
+        |SELECT tr.doc_id, CAST(count(*) AS BIGINT) AS n_hit
+        |FROM tr JOIN test_sh USING (sh)
+        |GROUP BY tr.doc_id ORDER BY tr.doc_id""".stripMargin,
     "q58_stratified_sample" ->
       """SELECT source, doc_id, md5(text) AS h,
         |  CAST(row_number() OVER (PARTITION BY source

@@ -210,6 +210,15 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(p.contains("row_number"), s"missing window rank:\n$p")
   }
 
+  test("decontamination broadcasts the benchmark shingle set") {
+    val q = SparkEntry.queries("q61_decontam")
+    val p = plan(q(spark, sf))
+    assert(p.contains("BroadcastHashJoin"),
+      s"benchmark shingles not broadcast:\n$p")
+    assert(!p.contains("SortMergeJoin"),
+      s"decontam degenerated to a corpus-wide SMJ:\n$p")
+  }
+
   test("cross-page block-df join keys on the 16-byte hash, not the text") {
     val q = SparkEntry.queries("p19_block_df")
     val p = plan(q(spark, sf))

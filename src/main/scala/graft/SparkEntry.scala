@@ -60,6 +60,66 @@ object SparkEntry {
       .withColumn("fp2", expr(lane(13, "1152921504606846883")))
   }
 
+  /** Deterministic split bucket 0..9 for a `doc_id` column (md5-of-id,
+    * stable under re-ingest/re-partitioning; no RNG state) — q56's
+    * train(<8)/val(8)/test(9) scheme, shared by q60/q61/q62.
+    */
+  private def splitBucket: Column =
+    conv(substring(md5(to_binary(
+      concat(lit("split:"), col("doc_id").cast("string")), lit("utf-8"))),
+      1, 4), 16, 10).cast("long") % 10
+
+  /** q55's row-local Gopher-rule repetition stats appended to `docs`
+    * (requires a `text` column): n_tokens, n_distinct, top_bigram,
+    * top_bigram_cnt, dup5_occ, keep — sorted n-gram arrays folded with
+    * run-length `aggregate` HOFs, zero shuffle. Shared by q55 and the
+    * composed q62 curation pipeline. Tie on the max bigram count
+    * resolves to the lexicographically smallest bigram (the sorted fold
+    * only replaces the champion on a STRICTLY longer run).
+    */
+  private def withRepetitionStats(docs: DataFrame): DataFrame =
+    docs
+      .withColumn("ts", split(col("text"), " "))
+      .withColumn("bgs", expr(
+        """IF(size(ts) < 2, array(),
+          |   array_sort(zip_with(slice(ts, 1, size(ts) - 1),
+          |                       slice(ts, 2, size(ts) - 1),
+          |                       (a, b) -> concat(a, ' ', b))))""".stripMargin))
+      .withColumn("fgs", expr(
+        """IF(size(ts) < 5, array(),
+          |   array_sort(transform(sequence(1, size(ts) - 4),
+          |                        i -> array_join(slice(ts, i, 5), ' '))))""".stripMargin))
+      .withColumn("top", expr(
+        """aggregate(bgs,
+          |  named_struct('prev', CAST(NULL AS STRING), 'run', 0L,
+          |               'best', 0L, 'bstr', ''),
+          |  (acc, x) -> named_struct(
+          |    'prev', x,
+          |    'run',  IF(x <=> acc.prev, acc.run + 1, 1L),
+          |    'best', IF(IF(x <=> acc.prev, acc.run + 1, 1L) > acc.best,
+          |               IF(x <=> acc.prev, acc.run + 1, 1L), acc.best),
+          |    'bstr', IF(IF(x <=> acc.prev, acc.run + 1, 1L) > acc.best,
+          |               x, acc.bstr)),
+          |  acc -> named_struct('cnt', acc.best, 'bg', acc.bstr))""".stripMargin))
+      .withColumn("dup5_occ", expr(
+        """aggregate(fgs,
+          |  named_struct('prev', CAST(NULL AS STRING), 'run', 0L, 'dup', 0L),
+          |  (acc, x) -> named_struct(
+          |    'prev', x,
+          |    'run', IF(x <=> acc.prev, acc.run + 1, 1L),
+          |    'dup', acc.dup + IF(x <=> acc.prev,
+          |                        IF(acc.run = 1, 2L, 1L), 0L)),
+          |  acc -> acc.dup)""".stripMargin))
+      .withColumn("n_tokens", size(col("ts")).cast("long"))
+      .withColumn("n_distinct", size(array_distinct(col("ts"))).cast("long"))
+      .withColumn("top_bigram", col("top.bg"))
+      .withColumn("top_bigram_cnt", col("top.cnt"))
+      .withColumn("keep",
+        col("top_bigram_cnt") * 25 <= col("n_tokens") &&
+          col("dup5_occ") * 4 <= col("n_tokens") &&
+          col("n_distinct") * 3 >= col("n_tokens"))
+      .drop("ts", "bgs", "fgs", "top")
+
   /** Row-local MinHash signature columns h0..h7 over `text`: stride-7
     * char-12-gram shingles, H=8 salted-md5 min-hashes, all computed by
     * the codegen kernel [[graft.functions.MinhashSig]] in ONE pass — a
@@ -890,49 +950,44 @@ object SparkEntry {
     // count resolves to the lexicographically smallest 2-gram (the sorted
     // fold only replaces the champion on a STRICTLY longer run).
     "q55_repetition_filter" -> ((s, dir) => {
-      t(s, dir, "documents")
-        .select(col("doc_id"), split(col("text"), " ").as("ts"))
-        .withColumn("bgs", expr(
-          """IF(size(ts) < 2, array(),
-            |   array_sort(zip_with(slice(ts, 1, size(ts) - 1),
-            |                       slice(ts, 2, size(ts) - 1),
-            |                       (a, b) -> concat(a, ' ', b))))""".stripMargin))
-        .withColumn("fgs", expr(
-          """IF(size(ts) < 5, array(),
-            |   array_sort(transform(sequence(1, size(ts) - 4),
-            |                        i -> array_join(slice(ts, i, 5), ' '))))""".stripMargin))
-        .withColumn("top", expr(
-          """aggregate(bgs,
-            |  named_struct('prev', CAST(NULL AS STRING), 'run', 0L,
-            |               'best', 0L, 'bstr', ''),
-            |  (acc, x) -> named_struct(
-            |    'prev', x,
-            |    'run',  IF(x <=> acc.prev, acc.run + 1, 1L),
-            |    'best', IF(IF(x <=> acc.prev, acc.run + 1, 1L) > acc.best,
-            |               IF(x <=> acc.prev, acc.run + 1, 1L), acc.best),
-            |    'bstr', IF(IF(x <=> acc.prev, acc.run + 1, 1L) > acc.best,
-            |               x, acc.bstr)),
-            |  acc -> named_struct('cnt', acc.best, 'bg', acc.bstr))""".stripMargin))
-        .withColumn("dup5_occ", expr(
-          """aggregate(fgs,
-            |  named_struct('prev', CAST(NULL AS STRING), 'run', 0L, 'dup', 0L),
-            |  (acc, x) -> named_struct(
-            |    'prev', x,
-            |    'run', IF(x <=> acc.prev, acc.run + 1, 1L),
-            |    'dup', acc.dup + IF(x <=> acc.prev,
-            |                        IF(acc.run = 1, 2L, 1L), 0L)),
-            |  acc -> acc.dup)""".stripMargin))
-        .select(col("doc_id"),
-          size(col("ts")).cast("long").as("n_tokens"),
-          size(array_distinct(col("ts"))).cast("long").as("n_distinct"),
-          col("top.bg").as("top_bigram"),
-          col("top.cnt").as("top_bigram_cnt"),
-          col("dup5_occ"))
-        .withColumn("keep",
-          col("top_bigram_cnt") * 25 <= col("n_tokens") &&
-            col("dup5_occ") * 4 <= col("n_tokens") &&
-            col("n_distinct") * 3 >= col("n_tokens"))
+      withRepetitionStats(t(s, dir, "documents"))
+        .select(col("doc_id"), col("n_tokens"), col("n_distinct"),
+          col("top_bigram"), col("top_bigram_cnt"), col("dup5_occ"),
+          col("keep"))
         .orderBy(col("doc_id"))
+    }),
+
+    // composed curation pipeline v2: quality gate (q55's row-local
+    // Gopher rules) -> benchmark decontamination (q61's broadcast
+    // shingle semi-join, train split only) -> exact dedup (first doc_id
+    // per text hash) -> per-(split, lang) mixing report. Every stage is
+    // an individually-oracled operator; the composition has exactly the
+    // shuffles its parts need (decontam per-doc count, dedup window,
+    // final partial agg) and the report is split-sized.
+    "q62_curation_pipeline" -> ((s, dir) => {
+      val L = 24
+      val sh = expr(
+        s"transform(sequence(1, greatest(length(text) - ${L - 1}, 1)), i -> substring(text, i, $L))")
+      val docs = t(s, dir, "documents").withColumn("b", splitBucket)
+        .withColumn("split",
+          when(col("b") < 8, "train").when(col("b") === 8, "val")
+            .otherwise("test"))
+      val quality = withRepetitionStats(docs).filter(col("keep"))
+      val testSh = docs.filter(col("b") === 9)
+        .select(explode(array_distinct(sh)).as("sh")).distinct()
+      val contaminated = docs.filter(col("b") < 8)
+        .select(col("doc_id"), explode(array_distinct(sh)).as("sh"))
+        .join(broadcast(testSh), Seq("sh"))
+        .select(col("doc_id")).distinct()
+      val w = Window.partitionBy(col("h")).orderBy(col("doc_id").asc)
+      quality.join(contaminated, Seq("doc_id"), "left_anti")
+        .withColumn("h", md5(to_binary(col("text"), lit("utf-8"))))
+        .withColumn("rk", row_number().over(w))
+        .filter(col("rk") === 1)
+        .groupBy(col("split"), col("lang"))
+        .agg(count(lit(1)).as("docs"),
+          sum(col("n_tokens")).as("tokens"))
+        .orderBy(col("split"), col("lang"))
     }),
 
     // deterministic corpus split + mixing report: hash-of-id bucketing
@@ -942,11 +997,8 @@ object SparkEntry {
     // Map-side-combinable: one partial-agg shuffle of ≤ |splits|×|langs|
     // rows per partition regardless of corpus size.
     "q56_split_mix" -> ((s, dir) => {
-      val bucket = conv(substring(md5(to_binary(
-        concat(lit("split:"), col("doc_id").cast("string")), lit("utf-8"))),
-        1, 4), 16, 10).cast("long") % 10
       t(s, dir, "documents")
-        .withColumn("b", bucket)
+        .withColumn("b", splitBucket)
         .withColumn("split",
           when(col("b") < 8, "train").when(col("b") === 8, "val")
             .otherwise("test"))
@@ -966,12 +1018,9 @@ object SparkEntry {
     // count partial-aggregates in place after the broadcast semi-join.
     "q61_decontam" -> ((s, dir) => {
       val L = 24
-      val bucket = conv(substring(md5(to_binary(
-        concat(lit("split:"), col("doc_id").cast("string")), lit("utf-8"))),
-        1, 4), 16, 10).cast("long") % 10
       val sh = expr(
         s"transform(sequence(1, greatest(length(text) - ${L - 1}, 1)), i -> substring(text, i, $L))")
-      val docs = t(s, dir, "documents").withColumn("b", bucket)
+      val docs = t(s, dir, "documents").withColumn("b", splitBucket)
       val testSh = docs.filter(col("b") === 9)
         .select(explode(array_distinct(sh)).as("sh")).distinct()
       docs.filter(col("b") < 8)
@@ -1057,11 +1106,8 @@ object SparkEntry {
     // sized and broadcast, the probe side never shuffles before the
     // per-doc partial agg (explode preserves row locality).
     "q60_lm_quality" -> ((s, dir) => {
-      val bucket = conv(substring(md5(to_binary(
-        concat(lit("split:"), col("doc_id").cast("string")), lit("utf-8"))),
-        1, 4), 16, 10).cast("long") % 10
       val tri = t(s, dir, "documents")
-        .select(col("doc_id"), bucket.as("b"),
+        .select(col("doc_id"), splitBucket.as("b"),
           explode(expr(
             "transform(sequence(1, greatest(length(text) - 2, 1)), i -> substring(text, i, 3))"
           )).as("g"))
@@ -1884,6 +1930,73 @@ object SparkEntry {
         |SELECT tr.doc_id, CAST(count(*) AS BIGINT) AS n_hit
         |FROM tr JOIN test_sh USING (sh)
         |GROUP BY tr.doc_id ORDER BY tr.doc_id""".stripMargin,
+    "q62_curation_pipeline" ->
+      """WITH s AS (
+        |  SELECT doc_id, text, lang,
+        |    ('0x' || substr(md5('split:' || CAST(doc_id AS VARCHAR)), 1, 4))::BIGINT
+        |      % 10 AS b
+        |  FROM documents
+        |), sp AS (
+        |  SELECT *, CASE WHEN b < 8 THEN 'train' WHEN b = 8 THEN 'val'
+        |                 ELSE 'test' END AS split,
+        |    string_split(text, ' ') AS ts
+        |  FROM s
+        |), big AS (
+        |  SELECT doc_id,
+        |    unnest(list_transform(range(1, len(ts)),
+        |      i -> ts[CAST(i AS INT)] || ' ' || ts[CAST(i+1 AS INT)])) AS bg
+        |  FROM sp
+        |), bc AS (
+        |  SELECT doc_id, bg, count(*) AS cnt FROM big GROUP BY doc_id, bg
+        |), top AS (
+        |  SELECT doc_id, cnt,
+        |    row_number() OVER (PARTITION BY doc_id
+        |                       ORDER BY cnt DESC, bg ASC) AS rk
+        |  FROM bc
+        |), five AS (
+        |  SELECT doc_id,
+        |    unnest(list_transform(range(1, len(ts) - 3),
+        |      i -> ts[CAST(i AS INT)] || ' ' || ts[CAST(i+1 AS INT)] || ' ' ||
+        |           ts[CAST(i+2 AS INT)] || ' ' || ts[CAST(i+3 AS INT)] || ' ' ||
+        |           ts[CAST(i+4 AS INT)])) AS fg
+        |  FROM sp
+        |), fc AS (
+        |  SELECT doc_id, fg, count(*) AS cnt FROM five GROUP BY doc_id, fg
+        |), dup AS (
+        |  SELECT doc_id,
+        |    CAST(coalesce(sum(cnt) FILTER (cnt > 1), 0) AS BIGINT) AS dup5_occ
+        |  FROM fc GROUP BY doc_id
+        |), q AS (
+        |  SELECT sp.doc_id FROM sp
+        |  LEFT JOIN top ON sp.doc_id = top.doc_id AND top.rk = 1
+        |  LEFT JOIN dup ON sp.doc_id = dup.doc_id
+        |  WHERE CAST(coalesce(top.cnt, 0) AS BIGINT) * 25 <= len(ts)
+        |    AND coalesce(dup.dup5_occ, 0) * 4 <= len(ts)
+        |    AND CAST(len(list_distinct(ts)) AS BIGINT) * 3 >= len(ts)
+        |), test_sh AS (
+        |  SELECT DISTINCT
+        |    unnest(list_transform(range(1, greatest(length(text) - 23, 1) + 1),
+        |      i -> substr(text, CAST(i AS INT), 24))) AS sh
+        |  FROM sp WHERE b = 9
+        |), tr AS (
+        |  SELECT doc_id,
+        |    unnest(list_distinct(list_transform(
+        |      range(1, greatest(length(text) - 23, 1) + 1),
+        |      i -> substr(text, CAST(i AS INT), 24)))) AS sh
+        |  FROM sp WHERE b < 8
+        |), contaminated AS (
+        |  SELECT DISTINCT tr.doc_id FROM tr JOIN test_sh USING (sh)
+        |), surv AS (
+        |  SELECT sp.* FROM sp JOIN q USING (doc_id)
+        |  WHERE sp.doc_id NOT IN (SELECT doc_id FROM contaminated)
+        |), dd AS (
+        |  SELECT *, row_number() OVER (PARTITION BY md5(text)
+        |                               ORDER BY doc_id) AS rk
+        |  FROM surv
+        |)
+        |SELECT split, lang, CAST(count(*) AS BIGINT) AS docs,
+        |  CAST(sum(len(ts)) AS BIGINT) AS tokens
+        |FROM dd WHERE rk = 1 GROUP BY split, lang ORDER BY split, lang""".stripMargin,
     "q58_stratified_sample" ->
       """SELECT source, doc_id, md5(text) AS h,
         |  CAST(row_number() OVER (PARTITION BY source

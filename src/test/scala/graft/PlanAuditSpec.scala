@@ -210,6 +210,16 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(p.contains("row_number"), s"missing window rank:\n$p")
   }
 
+  test("curation pipeline composes without product joins or extra shuffles") {
+    val q = SparkEntry.queries("q62_curation_pipeline")
+    val p = plan(q(spark, sf))
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"curation chain degenerated to a product join:\n$p")
+    // benchmark shingles broadcast; quality gate stays row-local
+    assert(p.contains("BroadcastHashJoin"),
+      s"decontam stage lost its broadcast inside the composition:\n$p")
+  }
+
   test("decontamination broadcasts the benchmark shingle set") {
     val q = SparkEntry.queries("q61_decontam")
     val p = plan(q(spark, sf))

@@ -1046,6 +1046,63 @@ object SparkEntry {
         .orderBy(col("source"), col("rk"))
     }),
 
+    // temperature-balanced language resampling (the multilingual mixture
+    // rebalancer LLM pipelines run, XLM-R/UNIMAX-style, alpha = 0.5):
+    // per-lang keep rate sqrt(n_min / n_lang) computed on a report-sized
+    // aggregate and BROADCAST back; each doc keeps/drops by a
+    // deterministic 52-bit md5 uniform (stable under re-partitioning and
+    // re-runs, zero RNG state). Scale shape: one 2-column pruned scan
+    // for the counts, one probe scan joined against the broadcast rate
+    // table, partial-agg report out — no corpus-wide shuffle at all.
+    // sqrt and the double division are IEEE-correctly-rounded in both
+    // engines, so the rate column is bit-identical to the oracle's.
+    "q63_temperature_sample" -> ((s, dir) => {
+      val docs = t(s, dir, "documents").select(col("doc_id"), col("lang"))
+      val counts = docs.groupBy(col("lang")).agg(count(lit(1)).as("n_before"))
+      val rates = counts
+        .crossJoin(broadcast(counts.agg(min(col("n_before")).as("n_min"))))
+        .withColumn("rate",
+          sqrt(col("n_min").cast("double") / col("n_before").cast("double")))
+        .drop("n_min")
+      val u = conv(substring(md5(to_binary(
+        concat(lit("temp:"), col("doc_id").cast("string")), lit("utf-8"))),
+        1, 13), 16, 10).cast("long").cast("double") / lit(4503599627370496.0)
+      docs.join(broadcast(rates), Seq("lang"))
+        .withColumn("u", u)
+        .groupBy(col("lang"), col("n_before"), col("rate"))
+        .agg(count(when(col("u") < col("rate"), 1)).as("n_kept"))
+        .orderBy(col("lang"))
+    }),
+
+    // C4-style corpus-wide chunk dedup: split each doc into consecutive
+    // 8-token chunks, keep only the globally-first occurrence of each
+    // chunk text (first by (doc_id, pos) — deterministic under any
+    // partitioning), then reassemble the surviving text per doc. Scale
+    // shape: row-local chunking (posexplode), ONE shuffle by chunk for
+    // the first-occurrence window, ONE shuffle back by doc_id for
+    // reassembly — both linear in corpus size, no all-pairs stage; the
+    // per-chunk window state is a single row_number counter.
+    "q64_chunk_dedup" -> ((s, dir) => {
+      val C = 8
+      val chunked = t(s, dir, "documents")
+        .select(col("doc_id"), split(col("text"), " ").as("ts"))
+        .select(col("doc_id"), posexplode(expr(
+          s"""transform(sequence(1, greatest(cast(ceil(size(ts) / $C.0) as int), 1)),
+             |          i -> array_join(slice(ts, (i - 1) * $C + 1, $C), ' '))""".stripMargin)))
+        .withColumnRenamed("col", "chunk")
+      val w = Window.partitionBy(col("chunk"))
+        .orderBy(col("doc_id").asc, col("pos").asc)
+      chunked
+        .withColumn("keep", row_number().over(w) === 1)
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_chunks"),
+          count(when(col("keep"), 1)).as("n_kept"),
+          array_join(expr(
+            "transform(array_sort(collect_list(CASE WHEN keep THEN struct(pos, chunk) END)), x -> x.chunk)"),
+            " ").as("kept_text"))
+        .orderBy(col("doc_id"))
+    }),
+
     // anti-join "ignore mask" (segment.py:248-263 role): keys absent from
     // the other side, as a left_anti join
     "q25_anti_join" -> ((s, dir) => {
@@ -2002,6 +2059,44 @@ object SparkEntry {
         |  CAST(row_number() OVER (PARTITION BY source
         |                          ORDER BY md5(text), doc_id) AS BIGINT) AS rk
         |FROM documents QUALIFY rk <= 3 ORDER BY source, rk""".stripMargin,
+    "q63_temperature_sample" ->
+      """WITH d AS (
+        |  SELECT doc_id, lang,
+        |    ('0x' || substr(md5('temp:' || CAST(doc_id AS VARCHAR)), 1, 13))::BIGINT
+        |      / 4503599627370496.0 AS u
+        |  FROM documents
+        |), c AS (
+        |  SELECT lang, CAST(count(*) AS BIGINT) AS n_before FROM d GROUP BY lang
+        |), r AS (
+        |  SELECT lang, n_before,
+        |    sqrt((SELECT min(n_before) FROM c)::DOUBLE / n_before::DOUBLE) AS rate
+        |  FROM c
+        |)
+        |SELECT r.lang AS lang, r.n_before AS n_before, r.rate AS rate,
+        |  CAST(count(*) FILTER (d.u < r.rate) AS BIGINT) AS n_kept
+        |FROM d JOIN r USING (lang)
+        |GROUP BY r.lang, r.n_before, r.rate ORDER BY r.lang""".stripMargin,
+    "q64_chunk_dedup" ->
+      """WITH d AS (
+        |  SELECT doc_id, string_split(text, ' ') AS ts FROM documents
+        |), c AS (
+        |  SELECT doc_id,
+        |    unnest(list_transform(
+        |      range(1, greatest(CAST(ceil(len(ts) / 8.0) AS BIGINT), 1) + 1),
+        |      i -> struct_pack(pos := CAST(i - 1 AS INT),
+        |        chunk := array_to_string(
+        |          list_slice(ts, (i-1)*8 + 1, (i-1)*8 + 8), ' ')))) AS pc
+        |  FROM d
+        |), k AS (
+        |  SELECT doc_id, pc.pos AS pos, pc.chunk AS chunk,
+        |    row_number() OVER (PARTITION BY pc.chunk ORDER BY doc_id, pc.pos) AS rk
+        |  FROM c
+        |)
+        |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_chunks,
+        |  CAST(count(*) FILTER (rk = 1) AS BIGINT) AS n_kept,
+        |  coalesce(string_agg(chunk, ' ' ORDER BY pos) FILTER (rk = 1), '')
+        |    AS kept_text
+        |FROM k GROUP BY doc_id ORDER BY doc_id""".stripMargin,
     "q25_anti_join" ->
       """SELECT o_orderkey FROM orders
         |WHERE o_orderkey NOT IN (SELECT l_orderkey FROM lineitem)

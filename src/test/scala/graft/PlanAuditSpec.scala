@@ -220,6 +220,29 @@ class PlanAuditSpec extends AnyFunSuite {
       s"decontam stage lost its broadcast inside the composition:\n$p")
   }
 
+  test("temperature sampling broadcasts the rate table (no corpus shuffle join)") {
+    val q = SparkEntry.queries("q63_temperature_sample")
+    val p = plan(q(spark, sf))
+    // the per-lang rate table is report-sized and must broadcast; a
+    // SortMergeJoin here would shuffle the whole corpus by lang (skewed:
+    // half the web is one language)
+    assert(p.contains("BroadcastHashJoin"), s"rate table not broadcast:\n$p")
+    assert(!p.contains("SortMergeJoin"), s"corpus shuffled for a tiny dim:\n$p")
+  }
+
+  test("chunk dedup is two linear shuffles, no join at all") {
+    val q = SparkEntry.queries("q64_chunk_dedup")
+    val p = plan(q(spark, sf))
+    // first-occurrence selection must be the window (one shuffle by
+    // chunk), not a self-join of the exploded chunk table
+    assert(!p.contains("Join"), s"chunk dedup grew a join:\n$p")
+    assert(p.contains("row_number"), s"missing first-occurrence window:\n$p")
+    val exchanges = p.linesIterator.count(l =>
+      l.contains("Exchange hashpartitioning"))
+    assert(exchanges <= 3,
+      s"expected window + regroup (+AQE coalesce) shuffles only, got $exchanges:\n$p")
+  }
+
   test("decontamination broadcasts the benchmark shingle set") {
     val q = SparkEntry.queries("q61_decontam")
     val p = plan(q(spark, sf))

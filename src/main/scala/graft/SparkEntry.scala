@@ -1103,6 +1103,47 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    // ANN index-quality gate: recall@10 of the banded hyperplane-LSH
+    // retriever against the exact brute-force ground truth, per query.
+    // The eval every pipeline runs before trusting an approximate index:
+    // n_hit/n_gt is the recall, n_cand the probe cost. 16 bands x 4
+    // sign bits (wider nets than q21's pair-finder — a recall gate wants
+    // candidate sets, not near-dup precision). Scale shape: ground
+    // truth is exact-on-a-sample by construction (bounded query side
+    // broadcast, like q20); the candidate stage is a band equi-join
+    // against the broadcast query keys — the corpus side never
+    // shuffles, and every join in the reduction is broadcast-sized.
+    "q65_ann_recall" -> ((s, dir) => {
+      graft.functions.CosineSim.register(s)
+      val emb = t(s, dir, "embeddings").select(col("vec_id"), col("embedding").as("v"))
+      val q = emb.filter(col("vec_id") < 5)
+        .select(col("vec_id").as("qid"), col("v").as("qv"))
+      val w = Window.partitionBy(col("qid"))
+        .orderBy(col("cos_r").desc, col("vec_id").asc)
+      val gt = broadcast(q).join(emb, col("vec_id") =!= col("qid"))
+        .withColumn("cos_r", round(expr("graft_cosine(qv, v)"), 3))
+        .withColumn("rnk", row_number().over(w)).filter(col("rnk") <= 10)
+        .select(col("qid"), col("vec_id"))
+      def bandKey(c: String, j: Int): Column = concat((1 to 4).map(i =>
+        when(element_at(col(c), 4 * j + i) >= 0, "1").otherwise("0")): _*)
+      val banded = emb.select(col("vec_id"),
+        posexplode(array((0 to 15).map(bandKey("v", _)): _*)))
+        .toDF("vec_id", "band", "key")
+      val qb = q.select(col("qid"),
+        posexplode(array((0 to 15).map(bandKey("qv", _)): _*)))
+        .toDF("qid", "band", "key")
+      val cand = banded.join(broadcast(qb), Seq("band", "key"))
+        .filter(col("vec_id") =!= col("qid"))
+        .select(col("qid"), col("vec_id")).distinct()
+      val cc = cand.groupBy(col("qid")).agg(count(lit(1)).as("n_cand"))
+      gt.join(cand.withColumn("hit", lit(1)), Seq("qid", "vec_id"), "left")
+        .groupBy(col("qid"))
+        .agg(count(lit(1)).as("n_gt"), count(col("hit")).as("n_hit"))
+        .join(broadcast(cc), Seq("qid"), "left")
+        .withColumn("n_cand", coalesce(col("n_cand"), lit(0L)))
+        .orderBy(col("qid"))
+    }),
+
     // anti-join "ignore mask" (segment.py:248-263 role): keys absent from
     // the other side, as a left_anti join
     "q25_anti_join" -> ((s, dir) => {
@@ -2097,6 +2138,49 @@ object SparkEntry {
         |  coalesce(string_agg(chunk, ' ' ORDER BY pos) FILTER (rk = 1), '')
         |    AS kept_text
         |FROM k GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    "q65_ann_recall" ->
+      """WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
+        |q AS (SELECT vec_id AS qid, v AS qv FROM e WHERE vec_id < 5),
+        |gt AS (
+        |  SELECT qid, vec_id FROM (
+        |    SELECT qid, vec_id,
+        |      row_number() OVER (PARTITION BY qid ORDER BY cos_r DESC, vec_id ASC) AS rnk
+        |    FROM (SELECT qid, vec_id, round(
+        |        list_sum(list_transform(range(1, 65), i -> qv[CAST(i AS INT)] * v[CAST(i AS INT)])) /
+        |        (sqrt(list_sum(list_transform(qv, x -> x * x))) *
+        |         sqrt(list_sum(list_transform(v, x -> x * x)))), 3) AS cos_r
+        |      FROM q, e WHERE vec_id <> qid) p) t
+        |  WHERE rnk <= 10
+        |), b AS (
+        |SELECT vec_id, v, 0 AS band, CASE WHEN v[1] >= 0 THEN '1' ELSE '0' END || CASE WHEN v[2] >= 0 THEN '1' ELSE '0' END || CASE WHEN v[3] >= 0 THEN '1' ELSE '0' END || CASE WHEN v[4] >= 0 THEN '1' ELSE '0' END AS key FROM e
+        |UNION ALL SELECT vec_id, v, 1 AS band, CASE WHEN v[5] >= 0 THEN '1' ELSE '0' END || CASE WHEN v[6] >= 0 THEN '1' ELSE '0' END || CASE WHEN v[7] >= 0 THEN '1' ELSE '0' END || CASE WHEN v[8] >= 0 THEN '1' ELSE '0' END AS key FROM e
+        |UNION ALL SELECT vec_id, v, 2 AS band, CASE WHEN v[9] >= 0 THEN '1' ELSE '0' END || CASE WHEN v[10] >= 0 THEN '1' ELSE '0' END || CASE WHEN v[11] >= 0 THEN '1' ELSE '0' END || CASE WHEN v[12] >= 0 THEN '1' ELSE '0' END AS key FROM e
+        |UNION ALL SELECT vec_id, v, 3 AS band, CASE WHEN v[13] >= 0 THEN '1' ELSE '0' END || CASE WHEN v[14] >= 0 THEN '1' ELSE '0' END || CASE WHEN v[15] >= 0 THEN '1' ELSE '0' END || CASE WHEN v[16] >= 0 THEN '1' ELSE '0' END AS key FROM e
+        |UNION ALL SELECT vec_id, v, 4 AS band, CASE WHEN v[17] >= 0 THEN '1' ELSE '0' END || CASE WHEN v[18] >= 0 THEN '1' ELSE '0' END || CASE WHEN v[19] >= 0 THEN '1' ELSE '0' END || CASE WHEN v[20] >= 0 THEN '1' ELSE '0' END AS key FROM e
+        |UNION ALL SELECT vec_id, v, 5 AS band, CASE WHEN v[21] >= 0 THEN '1' ELSE '0' END || CASE WHEN v[22] >= 0 THEN '1' ELSE '0' END || CASE WHEN v[23] >= 0 THEN '1' ELSE '0' END || CASE WHEN v[24] >= 0 THEN '1' ELSE '0' END AS key FROM e
+        |UNION ALL SELECT vec_id, v, 6 AS band, CASE WHEN v[25] >= 0 THEN '1' ELSE '0' END || CASE WHEN v[26] >= 0 THEN '1' ELSE '0' END || CASE WHEN v[27] >= 0 THEN '1' ELSE '0' END || CASE WHEN v[28] >= 0 THEN '1' ELSE '0' END AS key FROM e
+        |UNION ALL SELECT vec_id, v, 7 AS band, CASE WHEN v[29] >= 0 THEN '1' ELSE '0' END || CASE WHEN v[30] >= 0 THEN '1' ELSE '0' END || CASE WHEN v[31] >= 0 THEN '1' ELSE '0' END || CASE WHEN v[32] >= 0 THEN '1' ELSE '0' END AS key FROM e
+        |UNION ALL SELECT vec_id, v, 8 AS band, CASE WHEN v[33] >= 0 THEN '1' ELSE '0' END || CASE WHEN v[34] >= 0 THEN '1' ELSE '0' END || CASE WHEN v[35] >= 0 THEN '1' ELSE '0' END || CASE WHEN v[36] >= 0 THEN '1' ELSE '0' END AS key FROM e
+        |UNION ALL SELECT vec_id, v, 9 AS band, CASE WHEN v[37] >= 0 THEN '1' ELSE '0' END || CASE WHEN v[38] >= 0 THEN '1' ELSE '0' END || CASE WHEN v[39] >= 0 THEN '1' ELSE '0' END || CASE WHEN v[40] >= 0 THEN '1' ELSE '0' END AS key FROM e
+        |UNION ALL SELECT vec_id, v, 10 AS band, CASE WHEN v[41] >= 0 THEN '1' ELSE '0' END || CASE WHEN v[42] >= 0 THEN '1' ELSE '0' END || CASE WHEN v[43] >= 0 THEN '1' ELSE '0' END || CASE WHEN v[44] >= 0 THEN '1' ELSE '0' END AS key FROM e
+        |UNION ALL SELECT vec_id, v, 11 AS band, CASE WHEN v[45] >= 0 THEN '1' ELSE '0' END || CASE WHEN v[46] >= 0 THEN '1' ELSE '0' END || CASE WHEN v[47] >= 0 THEN '1' ELSE '0' END || CASE WHEN v[48] >= 0 THEN '1' ELSE '0' END AS key FROM e
+        |UNION ALL SELECT vec_id, v, 12 AS band, CASE WHEN v[49] >= 0 THEN '1' ELSE '0' END || CASE WHEN v[50] >= 0 THEN '1' ELSE '0' END || CASE WHEN v[51] >= 0 THEN '1' ELSE '0' END || CASE WHEN v[52] >= 0 THEN '1' ELSE '0' END AS key FROM e
+        |UNION ALL SELECT vec_id, v, 13 AS band, CASE WHEN v[53] >= 0 THEN '1' ELSE '0' END || CASE WHEN v[54] >= 0 THEN '1' ELSE '0' END || CASE WHEN v[55] >= 0 THEN '1' ELSE '0' END || CASE WHEN v[56] >= 0 THEN '1' ELSE '0' END AS key FROM e
+        |UNION ALL SELECT vec_id, v, 14 AS band, CASE WHEN v[57] >= 0 THEN '1' ELSE '0' END || CASE WHEN v[58] >= 0 THEN '1' ELSE '0' END || CASE WHEN v[59] >= 0 THEN '1' ELSE '0' END || CASE WHEN v[60] >= 0 THEN '1' ELSE '0' END AS key FROM e
+        |UNION ALL SELECT vec_id, v, 15 AS band, CASE WHEN v[61] >= 0 THEN '1' ELSE '0' END || CASE WHEN v[62] >= 0 THEN '1' ELSE '0' END || CASE WHEN v[63] >= 0 THEN '1' ELSE '0' END || CASE WHEN v[64] >= 0 THEN '1' ELSE '0' END AS key FROM e
+        |), qb AS (SELECT q.qid, b.band, b.key FROM b JOIN q ON b.vec_id = q.qid
+        |), cand AS (
+        |  SELECT DISTINCT qb.qid, b.vec_id
+        |  FROM qb JOIN b ON qb.band = b.band AND qb.key = b.key AND b.vec_id <> qb.qid
+        |), cc AS (SELECT qid, CAST(count(*) AS BIGINT) AS n_cand FROM cand GROUP BY qid
+        |), h AS (
+        |  SELECT gt.qid, CAST(count(*) AS BIGINT) AS n_gt,
+        |    CAST(count(cand.vec_id) AS BIGINT) AS n_hit
+        |  FROM gt LEFT JOIN cand ON gt.qid = cand.qid AND gt.vec_id = cand.vec_id
+        |  GROUP BY gt.qid)
+        |SELECT h.qid AS qid, h.n_gt AS n_gt, h.n_hit AS n_hit,
+        |  coalesce(cc.n_cand, 0) AS n_cand
+        |FROM h LEFT JOIN cc ON h.qid = cc.qid ORDER BY h.qid""".stripMargin,
     "q25_anti_join" ->
       """SELECT o_orderkey FROM orders
         |WHERE o_orderkey NOT IN (SELECT l_orderkey FROM lineitem)

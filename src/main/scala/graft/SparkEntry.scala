@@ -161,6 +161,32 @@ object SparkEntry {
       .select(col("id1"), col("id2")).distinct()
   }
 
+  /** Edge derivation over a slim signature frame, exposed for the
+    * stage-level profiler ([[graft.tools.Q51Prof]]) only.
+    */
+  private[graft] def minhashEdgesForProf(sig: DataFrame): DataFrame =
+    minhashBandPairsFromSig(sig)
+      .select(col("id1").as("src"), col("id2").as("dst"))
+
+  /** The q51 survivor-set frame alone (gate + fp dedup, no persist), for
+    * the stage-level profiler only.
+    */
+  private[graft] def survivorsForProf(s: SparkSession, dir: String): DataFrame = {
+    val nSpaces = length(col("text")) - length(regexp_replace(col("text"), " ", ""))
+    val awl = (length(col("text")) - nSpaces).cast("double") / (nSpaces + 1)
+    val surv0 = t(s, dir, "documents")
+      .filter(col("n_chars") >= 100 && awl.between(4.0, 8.0))
+      .select(col("doc_id"), col("source"), col("text"))
+    val slim = withMinhashSig(withFingerprintLanes(surv0))
+      .withColumn("n_tokens", size(split(col("text"), " ")))
+      .drop("text")
+    val wFp = Window.partitionBy(col("fp1"), col("fp2"))
+    slim
+      .withColumn("keeper", min(col("doc_id")).over(wFp))
+      .filter(col("doc_id") === col("keeper"))
+      .drop("fp1", "fp2", "keeper")
+  }
+
   /** The lazy corpus-prep pipeline (q51): quality gate → exact-dedup
     * survivor set → MinHash edges → CC representatives → per-source
     * stats. `persistEx` caches the survivor set, which feeds THREE
@@ -201,7 +227,7 @@ object SparkEntry {
     val edges = minhashBandPairsFromSig(ex)
       .select(col("id1").as("src"), col("id2").as("dst"))
     val comp = graft.operators.Dedup.connectedComponents(
-      ex.select(col("doc_id").as("id")), edges)
+      ex.select(col("doc_id").as("id")), edges, edgesDistinct = true)
     val result = ex.join(comp, ex("doc_id") === comp("id"))
       .filter(col("comp") === col("id"))
       .groupBy(col("source"))
@@ -761,7 +787,8 @@ object SparkEntry {
       val verts = t(s, dir, "documents").select(col("doc_id").as("id"))
       val edges = minhashBandPairs(t(s, dir, "documents"))
         .select(col("id1").as("src"), col("id2").as("dst"))
-      graft.operators.Dedup.connectedComponents(verts, edges)
+      graft.operators.Dedup.connectedComponents(verts, edges,
+          edgesDistinct = true)
         .groupBy(col("comp")).agg(count(lit(1)).as("cluster_size"))
         .groupBy(col("cluster_size")).agg(count(lit(1)).as("n_clusters"))
         .orderBy(col("cluster_size"))
@@ -1136,7 +1163,7 @@ object SparkEntry {
         .filter(col("vec_id") =!= col("qid"))
         .select(col("qid"), col("vec_id")).distinct()
       val cc = cand.groupBy(col("qid")).agg(count(lit(1)).as("n_cand"))
-      gt.join(cand.withColumn("hit", lit(1)), Seq("qid", "vec_id"), "left")
+      gt.join(broadcast(cand.withColumn("hit", lit(1))), Seq("qid", "vec_id"), "left")
         .groupBy(col("qid"))
         .agg(count(lit(1)).as("n_gt"), count(col("hit")).as("n_hit"))
         .join(broadcast(cc), Seq("qid"), "left")

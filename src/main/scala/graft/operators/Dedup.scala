@@ -74,23 +74,41 @@ object Dedup {
   def connectedComponents(
       vertices: DataFrame,
       edges: DataFrame,
-      maxRounds: Int = 20
-  ): DataFrame = connectedComponentsWithRounds(vertices, edges, maxRounds)._1
+      maxRounds: Int = 20,
+      edgesDistinct: Boolean = false
+  ): DataFrame =
+    connectedComponentsWithRounds(vertices, edges, maxRounds, edgesDistinct)._1
 
   /** [[connectedComponents]] plus the number of propagation rounds the
     * fixpoint took — returned per-call (the `lastRounds` var is a shared
     * diagnostic that races under concurrent calls; the convergence-shape
     * assertions in DedupSpec read this instead).
+    *
+    * @param edgesDistinct caller guarantees `edges` holds DISTINCT
+    *                       directed pairs with `src < dst` (the band-join
+    *                       producers q18/q51 end in exactly that
+    *                       distinct) — the symmetrized set is then
+    *                       distinct by construction and the operator
+    *                       skips one full edge-set shuffle.
     */
   def connectedComponentsWithRounds(
       vertices: DataFrame,
       edges: DataFrame,
-      maxRounds: Int = 20
+      maxRounds: Int = 20,
+      edgesDistinct: Boolean = false
   ): (DataFrame, Int) = {
-    val sym = edges.select(col("src"), col("dst"))
-      .union(edges.select(col("dst").as("src"), col("src").as("dst")))
-      .distinct()
-      .persist()
+    // symmetrize ROW-LOCALLY (explode both directions of each edge)
+    // rather than union(edges, swapped): the union spelling evaluates
+    // the caller's edge-derivation pipeline once per branch — for q51
+    // that recomputed the band-join/df-guard chain twice inside the
+    // first materializing job (measured ~2x the edge cost at sf0.1, and
+    // a full second corpus pass whenever the edge input isn't cached)
+    val sym0 = edges
+      .select(explode(array(
+        struct(col("src"), col("dst")),
+        struct(col("dst").as("src"), col("src").as("dst")))).as("e"))
+      .select(col("e.src").as("src"), col("e.dst").as("dst"))
+    val sym = (if (edgesDistinct) sym0 else sym0.distinct()).persist()
     var labels = sym.select(col("src").as("id")).distinct()
       .withColumn("comp", col("id")).persist()
     var prevSum = labels.agg(sum(col("comp").cast("decimal(38,0)"))).first().getDecimal(0)

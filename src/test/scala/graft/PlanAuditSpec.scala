@@ -243,6 +243,17 @@ class PlanAuditSpec extends AnyFunSuite {
       s"expected window + regroup (+AQE coalesce) shuffles only, got $exchanges:\n$p")
   }
 
+  test("ANN recall eval never shuffles the corpus side") {
+    val q = SparkEntry.queries("q65_ann_recall")
+    val p = plan(q(spark, sf))
+    // GT is the bounded-broadcast BNLJ (q20 shape); candidates join the
+    // broadcast query band keys; all reduction joins are broadcast-sized
+    assert(!p.contains("SortMergeJoin"),
+      s"recall eval shuffled a corpus-sized join side:\n$p")
+    assert(!p.contains("CartesianProduct"), s"degenerated to cartesian:\n$p")
+    assert(p.contains("BroadcastHashJoin"), s"band-key join lost its broadcast:\n$p")
+  }
+
   test("decontamination broadcasts the benchmark shingle set") {
     val q = SparkEntry.queries("q61_decontam")
     val p = plan(q(spark, sf))

@@ -627,12 +627,30 @@ object Pipeline {
       spark: SparkSession,
       root: String,
       n: Long,
-      buckets: Int = 32
+      buckets: Int
+  ): org.apache.spark.sql.DataFrame =
+    runCheckpointed(spark, root, generate(spark, n).toDF(), buckets)
+
+  def runCheckpointed(
+      spark: SparkSession,
+      root: String,
+      n: Long
+  ): org.apache.spark.sql.DataFrame =
+    runCheckpointed(spark, root, n, 32)
+
+  /** [[runCheckpointed]] over an arbitrary PageRow-schema table — the
+    * spark-submit surface ([[graft.Run]]) feeds any (url, warc_ts, html,
+    * text, lang) parquet through here.
+    */
+  def runCheckpointed(
+      spark: SparkSession,
+      root: String,
+      pages: org.apache.spark.sql.DataFrame,
+      buckets: Int
   ): org.apache.spark.sql.DataFrame = {
     import spark.implicits._
     import graft.plans.Checkpoint
 
-    val pages = generate(spark, n).toDF()
     val seg = Checkpoint.runStage(spark, "segment", root, pages, "url", buckets) { df =>
       df.as[PageRow].map(segmentPage).toDF()
     }

@@ -1171,6 +1171,32 @@ object SparkEntry {
         .orderBy(col("qid"))
     }),
 
+    // gap-based sessionization: the clickstream/crawl-log segmentation
+    // every web-scale event pipeline runs — a new session starts after
+    // an 8-hour silence. lag + running-sum-of-breaks + per-session agg
+    // all share ONE shuffle keyed on user_id (the windows and the
+    // groupBy use the same partitioning); value totals are integer
+    // cents so partial-agg order can't perturb the hash. NTZ timestamps
+    // go through epoch micros (session TZ pinned UTC on both engines).
+    "q66_sessionize" -> ((s, dir) => {
+      val us = unix_micros(col("ts").cast("timestamp"))
+      val wOrd = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts").asc, col("event_id").asc)
+      val gapUs = 28800L * 1000000L // 8 h
+      t(s, dir, "events")
+        .withColumn("ev_us", us)
+        .withColumn("prev_us", lag(col("ev_us"), 1).over(wOrd))
+        .withColumn("brk",
+          when(col("prev_us").isNull ||
+            col("ev_us") - col("prev_us") > gapUs, 1L).otherwise(0L))
+        .withColumn("session_idx", sum(col("brk")).over(wOrd))
+        .groupBy(col("user_id"), col("session_idx"))
+        .agg(count(lit(1)).as("n_events"),
+          ((max(col("ev_us")) - min(col("ev_us"))) / 1000000L).as("duration_s"),
+          sum(round(col("value") * 100).cast("long")).as("value_cents"))
+        .orderBy(col("user_id"), col("session_idx"))
+    }),
+
     // anti-join "ignore mask" (segment.py:248-263 role): keys absent from
     // the other side, as a left_anti join
     "q25_anti_join" -> ((s, dir) => {
@@ -2165,6 +2191,28 @@ object SparkEntry {
         |  coalesce(string_agg(chunk, ' ' ORDER BY pos) FILTER (rk = 1), '')
         |    AS kept_text
         |FROM k GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    "q66_sessionize" ->
+      """WITH e AS (
+        |  SELECT user_id, event_id, epoch_us(ts) AS ev_us, value FROM events
+        |), l AS (
+        |  SELECT *, lag(ev_us) OVER (PARTITION BY user_id
+        |                             ORDER BY ev_us, event_id) AS prev_us
+        |  FROM e
+        |), b AS (
+        |  SELECT *, CASE WHEN prev_us IS NULL OR ev_us - prev_us > 28800000000
+        |                 THEN 1 ELSE 0 END AS brk
+        |  FROM l
+        |), sx AS (
+        |  SELECT *, CAST(sum(brk) OVER (PARTITION BY user_id
+        |                                ORDER BY ev_us, event_id) AS BIGINT)
+        |            AS session_idx
+        |  FROM b
+        |)
+        |SELECT user_id, session_idx, CAST(count(*) AS BIGINT) AS n_events,
+        |  (max(ev_us) - min(ev_us)) / 1000000.0 AS duration_s,
+        |  CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS value_cents
+        |FROM sx GROUP BY user_id, session_idx
+        |ORDER BY user_id, session_idx""".stripMargin,
     "q65_ann_recall" ->
       """WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
         |q AS (SELECT vec_id AS qid, v AS qv FROM e WHERE vec_id < 5),

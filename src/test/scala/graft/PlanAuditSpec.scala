@@ -254,6 +254,19 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(p.contains("BroadcastHashJoin"), s"band-key join lost its broadcast:\n$p")
   }
 
+  test("sessionization shares one user_id shuffle across windows and agg") {
+    val q = SparkEntry.queries("q66_sessionize")
+    val p = plan(q(spark, sf))
+    // lag, the break running-sum and the per-session groupBy all key on
+    // user_id — the plan must carry ONE hashpartitioning(user_id)
+    // exchange (plus the final orderBy range exchange), not one per step
+    val userExchanges = p.linesIterator.count(l =>
+      l.contains("Exchange hashpartitioning(user_id"))
+    assert(userExchanges == 1,
+      s"expected a single user_id exchange, got $userExchanges:\n$p")
+    assert(!p.contains("Join"), s"sessionization grew a join:\n$p")
+  }
+
   test("decontamination broadcasts the benchmark shingle set") {
     val q = SparkEntry.queries("q61_decontam")
     val p = plan(q(spark, sf))

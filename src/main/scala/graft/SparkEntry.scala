@@ -1197,6 +1197,49 @@ object SparkEntry {
         .orderBy(col("user_id"), col("session_idx"))
     }),
 
+    // incremental (delta-ingest) near-dup admission: classify a NEW
+    // batch of documents against an EXISTING corpus's MinHash band
+    // index — the production ingest path, where the corpus fingerprint
+    // index is a standing table and each crawl snapshot probes it
+    // instead of re-deduping the world. Even doc_ids play the standing
+    // index, odd ones the incoming batch (scale-free split, no count
+    // job). Status: dup_index (hits the standing index), dup_batch
+    // (first-come-first-kept within the batch), new. Scale shape:
+    // signatures row-local (codegen kernel), both probes are band
+    // equi-joins with the shared df<=128 skew guard, never all-pairs;
+    // the index side would be a bucketed standing table in production.
+    "q67_incremental_neardup" -> ((s, dir) => {
+      def md5s(c: Column): Column = md5(to_binary(c, lit("utf-8")))
+      val sig = withMinhashSig(
+        t(s, dir, "documents").select(col("doc_id"), col("text"))).drop("text")
+      val banded0 = sig.select(col("doc_id"), posexplode(array(
+        md5s(concat(col("h0"), col("h1"))), md5s(concat(col("h2"), col("h3"))),
+        md5s(concat(col("h4"), col("h5"))), md5s(concat(col("h6"), col("h7")))
+      ))).toDF("doc_id", "band", "key")
+      val wDf = Window.partitionBy(col("band"), col("key"))
+      val banded = banded0.withColumn("df", count(lit(1)).over(wDf))
+        .filter(col("df") <= 128).drop("df")
+      val ix = banded.filter(col("doc_id") % 2 === 0)
+        .select(col("band"), col("key")).distinct()
+      val batch = banded.filter(col("doc_id") % 2 === 1)
+      val dupIx = batch.join(ix, Seq("band", "key"))
+        .select(col("doc_id")).distinct().withColumn("di", lit(1))
+      val earlier = batch
+        .select(col("band"), col("key"), col("doc_id").as("id1"))
+      val dupBatch = batch.join(earlier, Seq("band", "key"))
+        .filter(col("id1") < col("doc_id"))
+        .select(col("doc_id")).distinct().withColumn("db", lit(1))
+      t(s, dir, "documents").filter(col("doc_id") % 2 === 1)
+        .select(col("doc_id"))
+        .join(dupIx, Seq("doc_id"), "left")
+        .join(dupBatch, Seq("doc_id"), "left")
+        .withColumn("status",
+          when(col("di") === 1, "dup_index")
+            .when(col("db") === 1, "dup_batch").otherwise("new"))
+        .select(col("doc_id"), col("status"))
+        .orderBy(col("doc_id"))
+    }),
+
     // anti-join "ignore mask" (segment.py:248-263 role): keys absent from
     // the other side, as a left_anti join
     "q25_anti_join" -> ((s, dir) => {
@@ -1598,7 +1641,7 @@ object SparkEntry {
     * mirrors [[minhashBandPairs]] including the df <= 128 hot-band guard;
     * `from` is the doc-set CTE/table the shingles read.
     */
-  private def minhashPairsCte(from: String): String =
+  private def minhashBandedCte(from: String): String =
     s"""shingles AS (
       |  SELECT doc_id, substr(text, CAST(u AS INT), 12) AS sh
       |  FROM (SELECT doc_id, text,
@@ -1620,7 +1663,10 @@ object SparkEntry {
       |  SELECT doc_id, band, key FROM (
       |    SELECT doc_id, band, key,
       |      count(*) OVER (PARTITION BY band, key) AS df
-      |    FROM banded0) WHERE df <= 128),
+      |    FROM banded0) WHERE df <= 128)""".stripMargin
+
+  private def minhashPairsCte(from: String): String =
+    s"""${minhashBandedCte(from)},
       |mh_pairs AS (
       |  SELECT DISTINCT a.doc_id AS id1, b.doc_id AS id2
       |  FROM banded a JOIN banded b
@@ -2191,6 +2237,19 @@ object SparkEntry {
         |  coalesce(string_agg(chunk, ' ' ORDER BY pos) FILTER (rk = 1), '')
         |    AS kept_text
         |FROM k GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    "q67_incremental_neardup" ->
+      s"""WITH ${minhashBandedCte("documents")},
+        |ix AS (SELECT DISTINCT band, key FROM banded WHERE doc_id % 2 = 0),
+        |batch AS (SELECT * FROM banded WHERE doc_id % 2 = 1),
+        |dup_ix AS (SELECT DISTINCT b.doc_id FROM batch b JOIN ix USING (band, key)),
+        |dup_b AS (
+        |  SELECT DISTINCT b.doc_id FROM batch b JOIN batch a
+        |    ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id)
+        |SELECT d.doc_id,
+        |  CASE WHEN d.doc_id IN (SELECT doc_id FROM dup_ix) THEN 'dup_index'
+        |       WHEN d.doc_id IN (SELECT doc_id FROM dup_b) THEN 'dup_batch'
+        |       ELSE 'new' END AS status
+        |FROM documents d WHERE d.doc_id % 2 = 1 ORDER BY d.doc_id""".stripMargin,
     "q66_sessionize" ->
       """WITH e AS (
         |  SELECT user_id, event_id, epoch_us(ts) AS ev_us, value FROM events

@@ -1086,11 +1086,14 @@ object SparkEntry {
     "q63_temperature_sample" -> ((s, dir) => {
       val docs = t(s, dir, "documents").select(col("doc_id"), col("lang"))
       val counts = docs.groupBy(col("lang")).agg(count(lit(1)).as("n_before"))
+      // n_min via a window over the ALREADY-AGGREGATED |langs|-row frame
+      // (single tiny partition — the "no partition defined" case is the
+      // point): a counts.agg(min) branch would re-run the corpus scan a
+      // second time just to produce one number
       val rates = counts
-        .crossJoin(broadcast(counts.agg(min(col("n_before")).as("n_min"))))
         .withColumn("rate",
-          sqrt(col("n_min").cast("double") / col("n_before").cast("double")))
-        .drop("n_min")
+          sqrt(min(col("n_before")).over(Window.partitionBy()).cast("double") /
+            col("n_before").cast("double")))
       val u = conv(substring(md5(to_binary(
         concat(lit("temp:"), col("doc_id").cast("string")), lit("utf-8"))),
         1, 13), 16, 10).cast("long").cast("double") / lit(4503599627370496.0)

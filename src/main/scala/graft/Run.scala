@@ -32,12 +32,13 @@ object Run {
         spark.read.parquet(pagesArg)
           .select("url", "warc_ts", "html", "text", "lang")
     val t0 = System.nanoTime()
-    val out = pipeline.Pipeline.runCheckpointed(spark, outRoot, pages, buckets)
+    val (out, stageResults) =
+      pipeline.Pipeline.runCheckpointedStaged(spark, outRoot, pages, buckets)
     val nPages = out.count()
     val wallSec = (System.nanoTime() - t0) / 1e9
-    val stages = Seq("segment", "align", "correct").map { st =>
-      val ledger = plans.Checkpoint.readLedger(spark, outRoot, st)
-      s""""$st":{"buckets":${ledger.size},"rows":${ledger.map(_.rows).sum}}"""
+    val stages = stageResults.map { case (st, r) =>
+      s""""$st":{"buckets":${r.ledger.size},"rows":${r.ledger.map(_.rows).sum},""" +
+        s""""processed":${r.processedBuckets.size},"skipped":${r.skippedBuckets.size}}"""
     }.mkString(",")
     f"""{"metric":"run_docs_per_sec","value":${nPages / math.max(wallSec, 1e-9)}%.1f,"unit":"docs/sec","pages":$nPages,"wall_sec":$wallSec%.2f,"buckets":$buckets,"stages":{$stages},"out":"$outRoot"}"""
   }

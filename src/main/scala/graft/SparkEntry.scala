@@ -120,6 +120,25 @@ object SparkEntry {
           col("n_distinct") * 3 >= col("n_tokens"))
       .drop("ts", "bgs", "fgs", "top")
 
+  /** The q64 chunk-dedup core, shared with the volume-linearity bench
+    * ([[graft.tools.ChunkDedupBench]]) so the recorded numbers always
+    * measure the shape the product runs: row-local C-token chunking
+    * (posexplode) then one first-occurrence window keyed on chunk text
+    * (first by (doc_id, pos) — deterministic under any partitioning).
+    * Input needs (doc_id, text); output is (doc_id, pos, chunk, keep).
+    */
+  private[graft] def chunkKeepFlags(docs: DataFrame, C: Int = 8): DataFrame = {
+    val chunked = docs
+      .select(col("doc_id"), split(col("text"), " ").as("ts"))
+      .select(col("doc_id"), posexplode(expr(
+        s"""transform(sequence(1, greatest(cast(ceil(size(ts) / $C.0) as int), 1)),
+           |          i -> array_join(slice(ts, (i - 1) * $C + 1, $C), ' '))""".stripMargin)))
+      .withColumnRenamed("col", "chunk")
+    val w = Window.partitionBy(col("chunk"))
+      .orderBy(col("doc_id").asc, col("pos").asc)
+    chunked.withColumn("keep", row_number().over(w) === 1)
+  }
+
   /** Row-local MinHash signature columns h0..h7 over `text`: stride-7
     * char-12-gram shingles, H=8 salted-md5 min-hashes, all computed by
     * the codegen kernel [[graft.functions.MinhashSig]] in ONE pass — a
@@ -168,8 +187,10 @@ object SparkEntry {
     minhashBandPairsFromSig(sig)
       .select(col("id1").as("src"), col("id2").as("dst"))
 
-  /** The q51 survivor-set frame alone (gate + fp dedup, no persist), for
-    * the stage-level profiler only.
+  /** The q51 survivor-set frame alone (gate + fp dedup, no persist) —
+    * the first half of [[corpusPrepPipeline]], which calls this so the
+    * stage-level profiler ([[graft.tools.Q51Prof]]) can never drift from
+    * the production chain.
     */
   private[graft] def survivorsForProf(s: SparkSession, dir: String): DataFrame = {
     val nSpaces = length(col("text")) - length(regexp_replace(col("text"), " ", ""))
@@ -210,19 +231,7 @@ object SparkEntry {
     */
   private[graft] def corpusPrepPipeline(s: SparkSession, dir: String,
       persistEx: Boolean): (DataFrame, DataFrame) = {
-    val nSpaces = length(col("text")) - length(regexp_replace(col("text"), " ", ""))
-    val awl = (length(col("text")) - nSpaces).cast("double") / (nSpaces + 1)
-    val surv0 = t(s, dir, "documents")
-      .filter(col("n_chars") >= 100 && awl.between(4.0, 8.0))
-      .select(col("doc_id"), col("source"), col("text"))
-    val slim = withMinhashSig(withFingerprintLanes(surv0))
-      .withColumn("n_tokens", size(split(col("text"), " ")))
-      .drop("text")
-    val wFp = Window.partitionBy(col("fp1"), col("fp2"))
-    val ex0 = slim
-      .withColumn("keeper", min(col("doc_id")).over(wFp))
-      .filter(col("doc_id") === col("keeper"))
-      .drop("fp1", "fp2", "keeper")
+    val ex0 = survivorsForProf(s, dir)
     val ex = if (persistEx) ex0.persist() else ex0
     val edges = minhashBandPairsFromSig(ex)
       .select(col("id1").as("src"), col("id2").as("dst"))
@@ -1113,17 +1122,7 @@ object SparkEntry {
     // reassembly — both linear in corpus size, no all-pairs stage; the
     // per-chunk window state is a single row_number counter.
     "q64_chunk_dedup" -> ((s, dir) => {
-      val C = 8
-      val chunked = t(s, dir, "documents")
-        .select(col("doc_id"), split(col("text"), " ").as("ts"))
-        .select(col("doc_id"), posexplode(expr(
-          s"""transform(sequence(1, greatest(cast(ceil(size(ts) / $C.0) as int), 1)),
-             |          i -> array_join(slice(ts, (i - 1) * $C + 1, $C), ' '))""".stripMargin)))
-        .withColumnRenamed("col", "chunk")
-      val w = Window.partitionBy(col("chunk"))
-        .orderBy(col("doc_id").asc, col("pos").asc)
-      chunked
-        .withColumn("keep", row_number().over(w) === 1)
+      chunkKeepFlags(t(s, dir, "documents"))
         .groupBy(col("doc_id"))
         .agg(count(lit(1)).as("n_chunks"),
           count(when(col("keep"), 1)).as("n_kept"),

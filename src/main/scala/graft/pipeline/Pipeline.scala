@@ -647,7 +647,20 @@ object Pipeline {
       root: String,
       pages: org.apache.spark.sql.DataFrame,
       buckets: Int
-  ): org.apache.spark.sql.DataFrame = {
+  ): org.apache.spark.sql.DataFrame =
+    runCheckpointedStaged(spark, root, pages, buckets)._1
+
+  /** [[runCheckpointed]] plus the per-stage [[graft.plans.Checkpoint.StageResult]]s
+    * (in execution order), so callers like [[graft.Run]] can report
+    * processed-vs-skipped buckets per stage without re-reading ledgers
+    * or hardcoding the stage list.
+    */
+  def runCheckpointedStaged(
+      spark: SparkSession,
+      root: String,
+      pages: org.apache.spark.sql.DataFrame,
+      buckets: Int
+  ): (org.apache.spark.sql.DataFrame, Seq[(String, graft.plans.Checkpoint.StageResult)]) = {
     import spark.implicits._
     import graft.plans.Checkpoint
 
@@ -662,6 +675,7 @@ object Pipeline {
       aligned.output.drop("p_bucket"), "url", buckets) { df =>
       correct(df.as[AlignedPage]).toDF()
     }
-    corrected.output.drop("p_bucket")
+    (corrected.output.drop("p_bucket"),
+      Seq("segment" -> seg, "align" -> aligned, "correct" -> corrected))
   }
 }

@@ -88,6 +88,33 @@ object Checkpoint {
       field("wallMs").toLong, field("completedAtMs").toLong)
   }
 
+  /** Pin the stage's bucket count on first run; refuse a resume under a
+    * different one. Without this, resuming an 8-bucket ledger with
+    * nBuckets=32 would treat buckets 0-7 as done under the NEW hash
+    * modulus, recompute rows whose hash%32 lands in 8-31, and leave the
+    * output holding ~1.75x the corpus — silent duplication, the worst
+    * failure mode a resumable writer can have.
+    */
+  private def pinBucketCount(spark: SparkSession, root: String,
+      stage: String, nBuckets: Int): Unit = {
+    val f = fs(spark, root)
+    val p = new Path(ledgerDir(root, stage), "nbuckets")
+    if (f.exists(p)) {
+      val in = f.open(p)
+      val pinned =
+        try scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim.toInt
+        finally in.close()
+      require(pinned == nBuckets,
+        s"stage '$stage' at $root was committed with nBuckets=$pinned; " +
+          s"resuming with nBuckets=$nBuckets would recompute rows under a " +
+          "different bucket modulus and duplicate already-committed output. " +
+          "Use the original bucket count (or a fresh root).")
+    } else {
+      val out = f.create(p, true)
+      try out.write(s"$nBuckets\n".getBytes("UTF-8")) finally out.close()
+    }
+  }
+
   /** Commit one bucket's ledger entry: a single atomic file create. */
   private def commitEntry(spark: SparkSession, root: String, stage: String, e: BucketEntry): Unit = {
     val f = fs(spark, root)
@@ -120,6 +147,7 @@ object Checkpoint {
       keyCol: String,
       nBuckets: Int
   )(f: DataFrame => DataFrame): StageResult = {
+    pinBucketCount(spark, root, stage, nBuckets)
     val done = readLedger(spark, root, stage).map(_.bucket).toSet
     val all = 0 until nBuckets
     val todo = all.filterNot(done)

@@ -1,16 +1,15 @@
 package graft.tools
 
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.expressions.Window
 
 /** Volume-linearity datapoint for the q64 chunk-dedup shape (C4-style
   * corpus-wide span dedup): synthesize N docs whose 8-token chunks are
   * drawn from a bounded phrase pool (so cross-document chunk collisions
   * are plentiful, like boilerplate on the web), run the exact q64
-  * operator chain — row-local chunking, one first-occurrence window
-  * keyed on chunk, one regroup by doc — and report wall time + drop
-  * rate at each requested volume. Deterministic: every doc is a pure
-  * function of its index.
+  * operator chain ([[graft.SparkEntry.chunkKeepFlags]], shared — not a
+  * copy — so the recorded numbers can't drift from the product), and
+  * report wall time + drop rate at each requested volume.
+  * Deterministic: every doc is a pure function of its index.
   *
   * Usage: runMain graft.tools.ChunkDedupBench [nDocs[,nDocs2,...]]
   */
@@ -32,24 +31,16 @@ object ChunkDedupBench {
               concat(lit("u"), col("doc_id") * 12 + c)).otherwise(lit("common"))
         }: _*))
       val t0 = System.nanoTime()
-      val chunked = docs
-        .select(col("doc_id"), split(col("text"), " ").as("ts"))
-        .select(col("doc_id"), posexplode(expr(
-          """transform(sequence(1, greatest(cast(ceil(size(ts) / 8.0) as int), 1)),
-            |          i -> array_join(slice(ts, (i - 1) * 8 + 1, 8), ' '))""".stripMargin)))
-        .withColumnRenamed("col", "chunk")
-      val w = Window.partitionBy(col("chunk"))
-        .orderBy(col("doc_id").asc, col("pos").asc)
-      val r = chunked
-        .withColumn("keep", row_number().over(w) === 1)
+      val r = graft.SparkEntry.chunkKeepFlags(docs)
         .groupBy(col("doc_id"))
         .agg(count(lit(1)).as("n_chunks"),
           count(when(col("keep"), 1)).as("n_kept"))
-        .agg(sum(col("n_chunks")), sum(col("n_kept"))).first()
+        .agg(coalesce(sum(col("n_chunks")), lit(0L)),
+          coalesce(sum(col("n_kept")), lit(0L))).first()
       ((System.nanoTime() - t0) / 1e9, r.getLong(0), r.getLong(1))
     }
 
-    run(volumes.head / 4) // warm codegen at a small volume, untimed
+    run(math.max(volumes.head / 4, 1L)) // warm codegen at a small volume, untimed
     volumes.foreach { n =>
       val (sec, chunks, kept) = run(n)
       println(f"""{"bench":"chunk_dedup","docs":$n,"chunks":$chunks,"kept":$kept,"wall_sec":$sec%.2f,"docs_per_sec":${n / sec}%.0f}""")

@@ -138,6 +138,25 @@ class CheckpointSpec extends AnyFunSuite {
     rmTree(Paths.get(root))
   }
 
+  test("resume under a different bucket count is refused") {
+    // An 8-bucket ledger resumed with nBuckets=32 would treat buckets
+    // 0-7 as done under the NEW modulus and recompute every row whose
+    // hash%32 lands in 8-31 — silent ~1.75x duplication. The pin must
+    // refuse before any work happens, and the original count must still
+    // resume cleanly afterwards.
+    val root = tmpRoot()
+    Checkpoint.runStage(spark, "s", root, input(), "url", 8)(identity)
+    val e = intercept[IllegalArgumentException] {
+      Checkpoint.runStage(spark, "s", root, input(), "url", 32)(identity)
+    }
+    assert(e.getMessage.contains("nBuckets=8"), e.getMessage)
+    // ledger untouched by the refused run; original count still resumes
+    assert(Checkpoint.readLedger(spark, root, "s").size == 8)
+    val res = Checkpoint.runStage(spark, "s", root, input(), "url", 8)(identity)
+    assert(res.processedBuckets.isEmpty && res.skippedBuckets.size == 8)
+    rmTree(Paths.get(root))
+  }
+
   test("stage whose pending buckets produce zero rows still reads back") {
     val root = tmpRoot()
     import spark.implicits._

@@ -23,6 +23,8 @@ class RunSpec extends AnyFunSuite {
     val json = Run.execute(spark, pagesPath, root, buckets = 4)
     assert(json.contains("\"pages\":40"), json)
     assert(json.contains("\"metric\":\"run_docs_per_sec\""), json)
+    // a clean run processed every bucket and skipped none
+    assert(json.contains("\"processed\":4") && json.contains("\"skipped\":0"), json)
     // all three stages committed all four buckets
     Seq("segment", "align", "correct").foreach { st =>
       val ledger = plans.Checkpoint.readLedger(spark, root, st)
@@ -43,8 +45,11 @@ class RunSpec extends AnyFunSuite {
     val before = plans.Checkpoint.readLedger(spark, rootResume, "correct")
       .map(e => e.bucket -> e.completedAtMs).toMap
     // second invocation: every stage's ledger is complete, so nothing
-    // is reprocessed (commit timestamps unchanged)
-    Run.execute(spark, pagesPath, rootResume, buckets = 4)
+    // is reprocessed (commit timestamps unchanged) and the metrics line
+    // says so (the clean/resume distinction an operator reads)
+    val resumeJson = Run.execute(spark, pagesPath, rootResume, buckets = 4)
+    assert(resumeJson.contains("\"processed\":0") &&
+      resumeJson.contains("\"skipped\":4"), resumeJson)
     val after = plans.Checkpoint.readLedger(spark, rootResume, "correct")
       .map(e => e.bucket -> e.completedAtMs).toMap
     assert(after == before, "resume rewrote committed buckets")

@@ -1082,6 +1082,92 @@ object SparkEntry {
         .orderBy(col("source"), col("rk"))
     }),
 
+    // PII scrubbing (C4/Dolma-style redaction pass): count and redact
+    // email / IPv4 / phone-shaped spans before training. The corpus text
+    // carries no PII, so discriminating fixtures are injected
+    // deterministically from doc_id (same derivation in the oracle) —
+    // every regex is ASCII-only so Java (Spark) and RE2 (DuckDB) agree
+    // character-for-character. Scale shape: pure row-local regex work,
+    // zero shuffles beyond the deterministic output sort; at 100 TB this
+    // is a map-only pass that pipelines with whatever runs next.
+    "q68_pii_scrub" -> ((s, dir) => {
+      val email = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+      val ip = "\\b[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\b"
+      val phone = "\\b[0-9]{3}-[0-9]{4}\\b"
+      val aug = concat(
+        col("text"),
+        when(col("doc_id") % 3 === 0,
+          concat(lit(" contact user"), col("doc_id").cast("string"),
+            lit("@mail.example.org now"))).otherwise(lit("")),
+        when(col("doc_id") % 5 === 0,
+          concat(lit(" from 192.168."), (col("doc_id") % 254 + 1).cast("string"),
+            lit("."), (col("doc_id") % 200 + 1).cast("string"))).otherwise(lit("")),
+        when(col("doc_id") % 7 === 0,
+          concat(lit(" call 555-0"), (col("doc_id") % 900 + 100).cast("string")))
+          .otherwise(lit("")))
+      t(s, dir, "documents")
+        .select(col("doc_id"), aug.as("aug"))
+        .select(col("doc_id"),
+          regexp_count(col("aug"), lit(email)).as("n_email"),
+          regexp_count(col("aug"), lit(ip)).as("n_ip"),
+          regexp_count(col("aug"), lit(phone)).as("n_phone"),
+          regexp_replace(regexp_replace(regexp_replace(col("aug"),
+            email, "<EMAIL>"), ip, "<IP>"), phone, "<PHONE>").as("scrubbed"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // concat-then-chunk sequence packing (training-prep): docs are
+    // concatenated in deterministic order within a shard and cut into
+    // fixed L-token training sequences; each doc reports its token
+    // offset and the sequence ids it spans (boundary-crossing docs are
+    // the loss-masking accounting every packer needs). Sharding IS the
+    // scale story: sequences never cross shard boundaries (matching real
+    // packers that pack per input shard), so the running sum is a
+    // per-shard window — parallelism = shard count, no global ordering
+    // anywhere. Integer-only math, hash-exact.
+    "q69_seq_pack" -> ((s, dir) => {
+      val L = 128
+      val w = Window.partitionBy(col("shard")).orderBy(col("doc_id").asc)
+      t(s, dir, "documents")
+        .select(col("doc_id"), (col("doc_id") % 8).as("shard"),
+          size(split(col("text"), " ")).cast("long").as("n_tokens"))
+        .withColumn("off",
+          coalesce(sum(col("n_tokens")).over(
+            w.rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+        .select(col("doc_id"), col("shard"), col("n_tokens"), col("off"),
+          expr(s"off div $L").as("first_seq"),
+          expr(s"(off + n_tokens - 1) div $L").as("last_seq"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // domain-suffix blocklist filter (the URL-level safety gate every
+    // crawl pipeline runs first): a doc's host is blocked when ANY
+    // dot-suffix of it appears in the blocklist (so 'src3.example.com'
+    // blocks every subdomain). Hosts derived deterministically from
+    // (source, doc_id); the blocklist is a tiny literal table. Scale
+    // shape: each host explodes into its ≤ |labels| suffixes row-locally
+    // and equi-joins the BROADCAST blocklist — no per-rule LIKE scan,
+    // no shuffle of the corpus side; min(rule) dedupes multi-suffix hits
+    // map-side.
+    "q70_blocklist" -> ((s, dir) => {
+      val bl = s.createDataFrame(Seq(
+        Tuple1("src3.example.com"), Tuple1("src7.example.com"),
+        Tuple1("sub2.src5.example.com"), Tuple1("badtld")))
+        .toDF("rule")
+      val host = concat(lit("sub"), (col("doc_id") % 4).cast("string"),
+        lit("."), col("source"), lit(".example.com"))
+      val suffixes = expr(
+        "transform(sequence(1, size(parts)), i -> array_join(slice(parts, i, size(parts) - i + 1), '.'))")
+      t(s, dir, "documents")
+        .select(col("doc_id"), host.as("host"))
+        .withColumn("parts", split(col("host"), "\\."))
+        .select(col("doc_id"), col("host"), explode(suffixes).as("sfx"))
+        .join(broadcast(bl), col("sfx") === col("rule"))
+        .groupBy(col("doc_id"), col("host"))
+        .agg(min(col("rule")).as("rule"))
+        .orderBy(col("doc_id"))
+    }),
+
     // temperature-balanced language resampling (the multilingual mixture
     // rebalancer LLM pipelines run, XLM-R/UNIMAX-style, alpha = 0.5):
     // per-lang keep rate sqrt(n_min / n_lang) computed on a report-sized
@@ -2239,6 +2325,64 @@ object SparkEntry {
         |  coalesce(string_agg(chunk, ' ' ORDER BY pos) FILTER (rk = 1), '')
         |    AS kept_text
         |FROM k GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    "q68_pii_scrub" ->
+      """WITH a AS (
+        |  SELECT doc_id, text ||
+        |    CASE WHEN doc_id % 3 = 0 THEN ' contact user' ||
+        |      CAST(doc_id AS VARCHAR) || '@mail.example.org now' ELSE '' END ||
+        |    CASE WHEN doc_id % 5 = 0 THEN ' from 192.168.' ||
+        |      CAST(doc_id % 254 + 1 AS VARCHAR) || '.' ||
+        |      CAST(doc_id % 200 + 1 AS VARCHAR) ELSE '' END ||
+        |    CASE WHEN doc_id % 7 = 0 THEN ' call 555-0' ||
+        |      CAST(doc_id % 900 + 100 AS VARCHAR) ELSE '' END AS aug
+        |  FROM documents
+        |)
+        |SELECT doc_id,
+        |  CAST(len(regexp_extract_all(aug,
+        |    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS INT) AS n_email,
+        |  CAST(len(regexp_extract_all(aug,
+        |    '\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b')) AS INT) AS n_ip,
+        |  CAST(len(regexp_extract_all(aug, '\b[0-9]{3}-[0-9]{4}\b')) AS INT)
+        |    AS n_phone,
+        |  regexp_replace(regexp_replace(regexp_replace(aug,
+        |      '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+        |    '\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b', '<IP>', 'g'),
+        |    '\b[0-9]{3}-[0-9]{4}\b', '<PHONE>', 'g') AS scrubbed
+        |FROM a ORDER BY doc_id""".stripMargin,
+    "q69_seq_pack" ->
+      """WITH d AS (
+        |  SELECT doc_id, doc_id % 8 AS shard,
+        |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+        |  FROM documents
+        |), o AS (
+        |  SELECT *, coalesce(sum(n_tokens) OVER (PARTITION BY shard
+        |      ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+        |    0) AS off
+        |  FROM d
+        |)
+        |SELECT doc_id, shard, n_tokens, CAST(off AS BIGINT) AS off,
+        |  CAST(off // 128 AS BIGINT) AS first_seq,
+        |  CAST((off + n_tokens - 1) // 128 AS BIGINT) AS last_seq
+        |FROM o ORDER BY doc_id""".stripMargin,
+    "q70_blocklist" ->
+      """WITH bl AS (
+        |  SELECT unnest(['src3.example.com', 'src7.example.com',
+        |                 'sub2.src5.example.com', 'badtld']) AS rule
+        |), h AS (
+        |  SELECT doc_id,
+        |    'sub' || CAST(doc_id % 4 AS VARCHAR) || '.' || source ||
+        |      '.example.com' AS host
+        |  FROM documents
+        |), sx AS (
+        |  SELECT doc_id, host,
+        |    unnest(list_transform(range(1, len(string_split(host, '.')) + 1),
+        |      i -> array_to_string(list_slice(string_split(host, '.'),
+        |        CAST(i AS INT), len(string_split(host, '.'))), '.'))) AS sfx
+        |  FROM h
+        |)
+        |SELECT sx.doc_id, sx.host, min(bl.rule) AS rule
+        |FROM sx JOIN bl ON sx.sfx = bl.rule
+        |GROUP BY sx.doc_id, sx.host ORDER BY sx.doc_id""".stripMargin,
     "q67_incremental_neardup" ->
       s"""WITH ${minhashBandedCte("documents")},
         |ix AS (SELECT DISTINCT band, key FROM banded WHERE doc_id % 2 = 0),

@@ -243,6 +243,41 @@ class PlanAuditSpec extends AnyFunSuite {
       s"expected window + regroup (+AQE coalesce) shuffles only, got $exchanges:\n$p")
   }
 
+  test("PII scrubbing is a map-only pass: no joins, no hash shuffles") {
+    val q = SparkEntry.queries("q68_pii_scrub")
+    val p = plan(q(spark, sf))
+    // redaction is per-row regex work; the only exchange allowed is the
+    // deterministic output sort's range partitioning
+    assert(!p.contains("Join"), s"unexpected join in PII scrub:\n$p")
+    assert(!p.contains("Exchange hashpartitioning"),
+      s"PII scrub shuffled — redaction must pipeline map-only:\n$p")
+  }
+
+  test("sequence packing shuffles once per shard, never globally") {
+    val q = SparkEntry.queries("q69_seq_pack")
+    val p = plan(q(spark, sf))
+    assert(!p.contains("Join"), s"unexpected join in seq packing:\n$p")
+    // the running token offset must be a per-shard window (parallelism =
+    // shard count); a global-order cumsum would be a single partition
+    assert(p.contains("hashpartitioning(shard"),
+      s"offset window not partitioned by shard:\n$p")
+    val exchanges = p.linesIterator.count(_.contains("Exchange hashpartitioning"))
+    assert(exchanges <= 1, s"expected one shard shuffle, got $exchanges:\n$p")
+  }
+
+  test("blocklist filter broadcasts the rules; corpus side suffix-explodes row-locally") {
+    val q = SparkEntry.queries("q70_blocklist")
+    val p = plan(q(spark, sf))
+    // suffix match must be explode + broadcast equi-join — a per-rule
+    // LIKE/endswith scan or an SMJ would shuffle the corpus for a
+    // 4-row dimension
+    assert(p.contains("BroadcastHashJoin"), s"blocklist not broadcast:\n$p")
+    assert(!p.contains("SortMergeJoin"), s"corpus shuffled for a tiny blocklist:\n$p")
+    val exchanges = p.linesIterator.count(_.contains("Exchange hashpartitioning"))
+    assert(exchanges <= 2,
+      s"expected only the per-host dedup agg shuffle, got $exchanges:\n$p")
+  }
+
   test("ANN recall eval never shuffles the corpus side") {
     val q = SparkEntry.queries("q65_ann_recall")
     val p = plan(q(spark, sf))

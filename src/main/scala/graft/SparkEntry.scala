@@ -1150,8 +1150,11 @@ object SparkEntry {
     // no shuffle of the corpus side; min(rule) dedupes multi-suffix hits
     // map-side.
     "q70_blocklist" -> ((s, dir) => {
+      // sub1.src3.example.com overlaps src3.example.com so the multi-hit
+      // dedup (min(rule)) is a live path, not dead generality
       val bl = s.createDataFrame(Seq(
         Tuple1("src3.example.com"), Tuple1("src7.example.com"),
+        Tuple1("sub1.src3.example.com"),
         Tuple1("sub2.src5.example.com"), Tuple1("badtld")))
         .toDF("rule")
       val host = concat(lit("sub"), (col("doc_id") % 4).cast("string"),
@@ -2367,6 +2370,7 @@ object SparkEntry {
     "q70_blocklist" ->
       """WITH bl AS (
         |  SELECT unnest(['src3.example.com', 'src7.example.com',
+        |                 'sub1.src3.example.com',
         |                 'sub2.src5.example.com', 'badtld']) AS rule
         |), h AS (
         |  SELECT doc_id,

@@ -1,13 +1,14 @@
 package graft
 
 import org.apache.spark.sql.SparkSession
+import graft.pipeline.{GraftConfig, Pipeline}
 
 /** The spark-submit entry point for the production pipeline — the
   * north-rule execution surface: read a (url, warc_ts, html, text, lang)
   * pages table, run extract+correct through the checkpointed
   * table-per-stage writer, and emit one JSON metrics line.
   *
-  *   spark-submit --class graft.Run graft.jar <pages> <outRoot> [buckets]
+  *   spark-submit --class graft.Run graft.jar <pages> <outRoot> [buckets] [--key=value ...]
   *
   * `<pages>` is a PageRow-schema parquet path, or `synth:N` for the
   * deterministic N-page synthetic corpus (fixtures/PagesGen). A rerun
@@ -17,23 +18,63 @@ import org.apache.spark.sql.SparkSession
   * bytes are identical to a single clean run (CheckpointSpec /
   * RunSpec pin this). Under spark-submit the launcher's --master and
   * shuffle parallelism win (SparkBoot passes them through untouched).
+  *
+  * Processor knobs (the reference's ocrd-tool.json parameter surface,
+  * here as CLI flags parsed into a [[graft.pipeline.GraftConfig]]):
+  *
+  *   --extractors=x-master[,x-alt]   candidate extractor names (nOCR role)
+  *   --run-le=true|false             lexicon-extension gate (runLE)
+  *   --max-candidates=N              profiler candidate cap
+  *   --min-block-chars=N             micro-block noise floor
+  *   --max-link-density=X            boilerplate link-density threshold
+  *   --profile-min-count=N           confusion-profile learning floor
+  *   --profile-max-patterns=N        confusion-profile pattern cap
+  *   --profile-no-cache=true|false   re-learn the profile every run
+  *
+  * Defaults are the shipped constants, so a flagless invocation is
+  * byte-identical to the unparameterized library call.
   */
 object Run {
+
+  /** Parse `--key=value` flags into a [[GraftConfig]]; unknown keys fail
+    * loudly (a typo must not silently run with defaults).
+    */
+  private[graft] def parseConfig(flags: Seq[String]): GraftConfig = {
+    val byName = Pipeline.extractors.map(e => e.name -> e).toMap
+    flags.foldLeft(GraftConfig.default) { (cfg, flag) =>
+      flag.split("=", 2) match {
+        case Array(k, v) => k match {
+          case "--extractors" => cfg.copy(extractors = v.split(",").toSeq.map(n =>
+            byName.getOrElse(n, sys.error(
+              s"unknown extractor '$n' (available: ${byName.keys.toSeq.sorted.mkString(", ")})"))))
+          case "--run-le" => cfg.copy(runLE = v.toBoolean)
+          case "--max-candidates" => cfg.copy(maxCandidates = v.toInt)
+          case "--min-block-chars" => cfg.copy(minBlockChars = v.toInt)
+          case "--max-link-density" => cfg.copy(maxLinkDensity = v.toDouble)
+          case "--profile-min-count" => cfg.copy(profileMinCount = v.toLong)
+          case "--profile-max-patterns" => cfg.copy(profileMaxPatterns = v.toInt)
+          case "--profile-no-cache" => cfg.copy(profileNoCache = v.toBoolean)
+          case other => sys.error(s"unknown flag '$other' (see Run scaladoc)")
+        }
+        case _ => sys.error(s"malformed flag '$flag' — expected --key=value")
+      }
+    }
+  }
 
   /** Testable core: runs the checkpointed pipeline and returns the
     * metrics JSON line. Session lifecycle belongs to the caller.
     */
   def execute(spark: SparkSession, pagesArg: String, outRoot: String,
-      buckets: Int): String = {
+      buckets: Int, cfg: GraftConfig = GraftConfig.default): String = {
     val pages =
       if (pagesArg.startsWith("synth:"))
-        pipeline.Pipeline.generate(spark, pagesArg.stripPrefix("synth:").toLong).toDF()
+        Pipeline.generate(spark, pagesArg.stripPrefix("synth:").toLong).toDF()
       else
         spark.read.parquet(pagesArg)
           .select("url", "warc_ts", "html", "text", "lang")
     val t0 = System.nanoTime()
     val (out, stageResults) =
-      pipeline.Pipeline.runCheckpointedStaged(spark, outRoot, pages, buckets)
+      Pipeline.runCheckpointedStaged(spark, outRoot, pages, buckets, cfg)
     val nPages = out.count()
     val wallSec = (System.nanoTime() - t0) / 1e9
     val stages = stageResults.map { case (st, r) =>
@@ -44,10 +85,13 @@ object Run {
   }
 
   def main(args: Array[String]): Unit = {
-    require(args.length >= 2, "usage: Run <pagesParquet|synth:N> <outRoot> [nBuckets]")
+    val (flags, positional) = args.toSeq.partition(_.startsWith("--"))
+    require(positional.length >= 2,
+      "usage: Run <pagesParquet|synth:N> <outRoot> [nBuckets] [--key=value ...]")
+    val cfg = parseConfig(flags)
     val spark = SparkBoot.session(sys.env.getOrElse("SPARK_GRAFT_CPUS", "32"))
-    val buckets = if (args.length > 2) args(2).toInt else 32
-    println(execute(spark, args(0), args(1), buckets))
+    val buckets = if (positional.length > 2) positional(2).toInt else 32
+    println(execute(spark, positional(0), positional(1), buckets, cfg))
     spark.stop()
   }
 }

@@ -660,20 +660,43 @@ object Pipeline {
       root: String,
       pages: org.apache.spark.sql.DataFrame,
       buckets: Int
+  ): (org.apache.spark.sql.DataFrame, Seq[(String, graft.plans.Checkpoint.StageResult)]) =
+    runCheckpointedStaged(spark, root, pages, buckets, GraftConfig.default)
+
+  /** Config-driven spelling: every processor knob flows from the
+    * [[GraftConfig]] (the spark-submit surface [[graft.Run]] parses its
+    * `--key=value` flags into one). The default config is byte-identical
+    * to the unparameterized overload. Stage closures resolve their
+    * resources lazily — a fully-resumed run (all ledgers complete) never
+    * pays the profile learn, because [[graft.plans.Checkpoint.runStage]]
+    * only invokes the transform when buckets are pending.
+    */
+  def runCheckpointedStaged(
+      spark: SparkSession,
+      root: String,
+      pages: org.apache.spark.sql.DataFrame,
+      buckets: Int,
+      cfg: GraftConfig
   ): (org.apache.spark.sql.DataFrame, Seq[(String, graft.plans.Checkpoint.StageResult)]) = {
     import spark.implicits._
     import graft.plans.Checkpoint
 
     val seg = Checkpoint.runStage(spark, "segment", root, pages, "url", buckets) { df =>
-      df.as[PageRow].map(segmentPage).toDF()
+      df.as[PageRow].map(segmentPage(_, cfg)).toDF()
     }
     val aligned = Checkpoint.runStage(spark, "align", root,
       seg.output.drop("p_bucket"), "url", buckets) { df =>
-      df.as[SegmentedPage].map(alignPage).toDF()
+      df.as[SegmentedPage].map(alignPage(_, cfg.extractors)).toDF()
     }
     val corrected = Checkpoint.runStage(spark, "correct", root,
       aligned.output.drop("p_bucket"), "url", buckets) { df =>
-      correct(df.as[AlignedPage]).toDF()
+      val profile = profileFor(spark, cfg)
+      val bde = spark.sparkContext.broadcast(lexiconWith("de", profile))
+      val ben = spark.sparkContext.broadcast(lexiconWith("en", profile))
+      df.as[AlignedPage]
+        .map(ap => correctPage(ap, bde.value, ben.value, cfg.runLE,
+          Set.empty, cfg.maxCandidates))
+        .toDF()
     }
     (corrected.output.drop("p_bucket"),
       Seq("segment" -> seg, "align" -> aligned, "correct" -> corrected))

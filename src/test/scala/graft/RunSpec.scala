@@ -67,4 +67,52 @@ class RunSpec extends AnyFunSuite {
     val json = Run.execute(spark, "synth:25", root, buckets = 2)
     assert(json.contains("\"pages\":25"), json)
   }
+
+  test("CLI flags parse into a GraftConfig; typos fail loudly") {
+    val cfg = Run.parseConfig(Seq("--extractors=x-master", "--run-le=false",
+      "--max-candidates=3", "--min-block-chars=2", "--max-link-density=0.9",
+      "--profile-min-count=7", "--profile-max-patterns=4",
+      "--profile-no-cache=true"))
+    assert(cfg.extractors.map(_.name) == Seq("x-master"))
+    assert(!cfg.runLE && cfg.maxCandidates == 3 && cfg.minBlockChars == 2)
+    assert(cfg.maxLinkDensity == 0.9 && cfg.profileMinCount == 7L)
+    assert(cfg.profileMaxPatterns == 4 && cfg.profileNoCache)
+    assert(Run.parseConfig(Nil) == pipeline.GraftConfig.default)
+    // a typo must not silently run with defaults
+    assertThrows[RuntimeException](Run.parseConfig(Seq("--max-candidats=3")))
+    assertThrows[RuntimeException](Run.parseConfig(Seq("--extractors=nope")))
+    assertThrows[RuntimeException](Run.parseConfig(Seq("--run-le")))
+  }
+
+  test("a non-default config changes stage output; resume preserves its bytes") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.{col, explode, size}
+    // master-only extractors (nOCR=1): every aligned line must carry ONE
+    // variant instead of the default two — the knob must be visibly live
+    // in the persisted stage tables of the spark-submit surface (the
+    // corrected TEXT may coincide on an easy corpus; the alignment
+    // structure cannot)
+    val cfg = Run.parseConfig(Seq("--extractors=x-master"))
+    val rootDef = tmp("cfgdef")
+    val rootOne = tmp("cfgone")
+    Run.execute(spark, "synth:40", rootDef, buckets = 4)
+    Run.execute(spark, "synth:40", rootOne, buckets = 4, cfg)
+    def variantCounts(root: String): Set[Int] =
+      spark.read.parquet(s"$root/align/data")
+        .select(explode(col("lines")).as("l"))
+        .select(size(col("l.variants")).as("n"))
+        .as[Int].collect().toSet
+    assert(variantCounts(rootDef) == Set(2), "default run lost the alt extractor")
+    assert(variantCounts(rootOne) == Set(1), "nOCR=1 still aligned 2 variants — knob dead")
+    // resuming the non-default root under the same config is a no-op
+    // and keeps its (non-default) bytes
+    def snap(root: String) =
+      spark.read.parquet(s"$root/correct/data")
+        .select("url", "text", "nCorrections")
+        .as[(String, String, Int)].collect().sortBy(_._1).toSeq
+    val oneSnap = snap(rootOne)
+    val rerun = Run.execute(spark, "synth:40", rootOne, buckets = 4, cfg)
+    assert(rerun.contains("\"processed\":0"), rerun)
+    assert(snap(rootOne) == oneSnap, "resume changed config-run bytes")
+  }
 }

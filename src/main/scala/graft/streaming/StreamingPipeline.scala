@@ -136,6 +136,33 @@ object StreamingPipeline {
       .groupBy(window(col("warc_ts"), "1 hour"), col("host"))
       .agg(count(lit(1)).as("n_pages"))
 
+  /** Gap-based streaming sessionization — the incremental spelling of the
+    * batch q66 operator (SparkEntry): events group into
+    * `session_window(ts, gap)` per user and emit the SAME per-session
+    * report (n_events, duration_s, value_cents). Append mode + watermark
+    * is the production shape: a session emits exactly once, when the
+    * watermark passes its close (no later event can merge into it
+    * anymore), and state is bounded by watermark + gap — this is the
+    * always-on crawl-log path, where the batch operator is the replay
+    * path (StatefulStreamingSpec pins row-for-row parity on a replay).
+    *
+    * Boundary note: the batch window splits on diff > gap (strictly),
+    * session_window on diff >= gap — the two differ only for events
+    * spaced EXACTLY gap apart, which microsecond-resolution logs don't
+    * produce (the parity spec would fail loudly if the corpus grew one).
+    */
+  def sessionizeStream(events: DataFrame, gapSeconds: Long = 28800L,
+      watermark: String = "1 hour"): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .groupBy(col("user_id"), session_window(col("ts"), s"$gapSeconds seconds"))
+      .agg(count(lit(1)).as("n_events"),
+        ((max(unix_micros(col("ts"))) - min(unix_micros(col("ts")))) /
+          lit(1000000.0)).as("duration_s"),
+        sum(round(col("value") * 100).cast("long")).as("value_cents"))
+      .select(col("user_id"), col("session_window.start").as("session_start"),
+        col("n_events"), col("duration_s"), col("value_cents"))
+
   /** Parquet sink with exactly-once micro-batch commits. */
   def writer(
       out: Dataset[CorrectedPage],

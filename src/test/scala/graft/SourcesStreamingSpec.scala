@@ -333,4 +333,54 @@ class StatefulStreamingSpec extends AnyFunSuite {
         s"got ${urls.toSeq}")
     } finally q.stop()
   }
+
+  test("streaming sessionization replays to row-for-row batch q66 parity") {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx = spark.sqlContext
+    val sf = "/root/testdata/sf0.001"
+    // (user_id, epoch_us, value) in event-time order, split mid-stream so
+    // sessions grow across micro-batches
+    val events = spark.read.parquet(s"$sf/events.parquet")
+      .select(col("user_id"), unix_micros(col("ts").cast("timestamp")).as("us"),
+        col("value"))
+      .as[(Long, Long, Double)].collect().sortBy(_._2)
+    val gapUs = 28800L * 1000000L
+    val in = MemoryStream[(Long, Long, Double)]
+    val stream = in.toDS().select(col("_1").as("user_id"),
+      timestamp_micros(col("_2")).as("ts"), col("_3").as("value"))
+    val out = StreamingPipeline.sessionizeStream(stream)
+    val q = out.writeStream.format("memory").queryName("sessions_out")
+      .outputMode("append")
+      .option("checkpointLocation",
+        Files.createTempDirectory("graft-sess-ckpt").toString)
+      .start()
+    try {
+      val (first, second) = events.splitAt(events.length / 2)
+      in.addData(first.toSeq); q.processAllAvailable()
+      in.addData(second.toSeq); q.processAllAvailable()
+      // sentinel far past every session's close (+gap +1h watermark +1h
+      // margin) advances the watermark so ALL real sessions emit; its own
+      // session never closes and stays absent from the append output
+      in.addData((-1L, events.map(_._2).max + gapUs + 2L * 3600000000L, 0.0))
+      q.processAllAvailable()
+
+      // session_idx = rank of session_start per user (batch counts from 1)
+      val got = spark.table("sessions_out")
+        .filter(col("user_id") >= 0)
+        .select(col("user_id"), unix_micros(col("session_start")).as("st"),
+          col("n_events"), col("duration_s"), col("value_cents"))
+        .as[(Long, Long, Long, Double, Long)].collect()
+        .groupBy(_._1).toSeq.flatMap { case (u, rows) =>
+          rows.sortBy(_._2).zipWithIndex.map { case ((_, _, n, d, c), i) =>
+            (u, (i + 1).toLong, n, d, c)
+          }
+        }.sortBy(r => (r._1, r._2))
+      val expected = SparkEntry.queries("q66_sessionize")(spark, sf)
+        .as[(Long, Long, Long, Double, Long)].collect().toSeq
+        .sortBy(r => (r._1, r._2))
+      assert(got.nonEmpty && got == expected,
+        s"streaming sessions diverge from batch: got ${got.take(3)}... vs ${expected.take(3)}...")
+    } finally q.stop()
+  }
 }

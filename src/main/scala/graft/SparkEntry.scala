@@ -154,7 +154,7 @@ object SparkEntry {
     graft.functions.MinhashSig.register(docs.sparkSession)
     docs
       .withColumn("_mh", expr("graft_minhash8(text)"))
-      .select(docs.columns.map(col) ++
+      .select(docs.columns.toIndexedSeq.map(col) ++
         (0 to 7).map(j => col("_mh").getItem(j).as(s"h$j")): _*)
   }
 

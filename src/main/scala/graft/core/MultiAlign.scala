@@ -97,7 +97,7 @@ object MultiAlign {
     var k = 0
     while (k <= m) {
       if (buckets(k) == null) buckets(k) = new StringBuilder
-      else if (buckets(k).length > 1) buckets(k) = buckets(k).reverseContents()
+      else if (buckets(k).length > 1) buckets(k) = buckets(k).reverseInPlace()
       k += 1
     }
     buckets

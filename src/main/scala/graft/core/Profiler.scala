@@ -406,7 +406,7 @@ object Corrector {
           case Some(sug) =>
             val cased =
               if (t.raw.nonEmpty && t.raw.head.isUpper && sug.nonEmpty)
-                sug.head.toUpper + sug.tail
+                s"${sug.head.toUpper}${sug.tail}"
               else sug
             val start = raw.indexWhere(_.isLetterOrDigit)
             val stop = raw.lastIndexWhere(_.isLetterOrDigit) + 1

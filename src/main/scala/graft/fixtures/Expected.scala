@@ -33,7 +33,7 @@ object Expected {
   private val Utf8 = java.nio.charset.StandardCharsets.UTF_8
 
   private def cap(s: String): String =
-    if (s.isEmpty) s else s.head.toUpper + s.tail
+    if (s.isEmpty) s else s"${s.head.toUpper}${s.tail}"
 
   final case class ExpBlock(
       url: String, block_id: String, kind: String,

@@ -196,7 +196,7 @@ object PagesGen {
     val lines = Seq.fill(nLines)(line(4 + rng.nextInt(7)))
     val (titleTrue, titleCorr) = line(3)
 
-    val cap = (s: String) => if (s.isEmpty) s else s.head.toUpper + s.tail
+    val cap = (s: String) => if (s.isEmpty) s else s"${s.head.toUpper}${s.tail}"
     val trueText = (cap(titleTrue) +: lines.map(l => cap(l._1))).mkString("\n")
 
     val paras = lines.zipWithIndex.map { case ((_, corr), j) =>

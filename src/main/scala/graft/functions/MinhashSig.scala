@@ -24,7 +24,7 @@ object MinhashKernel {
   private val tl: ThreadLocal[java.security.MessageDigest] =
     ThreadLocal.withInitial(() => java.security.MessageDigest.getInstance("MD5"))
   private val salts: Array[Array[Byte]] =
-    Array.tabulate(8)(j => (j + ":").getBytes("UTF-8"))
+    Array.tabulate(8)(j => s"$j:".getBytes("UTF-8"))
   private val HEX = "0123456789abcdef".toCharArray
 
   def minhash8(text: UTF8String, shingleLen: Int, stride: Int): ArrayData = {

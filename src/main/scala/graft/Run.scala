@@ -86,8 +86,11 @@ object Run {
 
   def main(args: Array[String]): Unit = {
     val (flags, positional) = args.toSeq.partition(_.startsWith("--"))
-    require(positional.length >= 2,
-      "usage: Run <pagesParquet|synth:N> <outRoot> [nBuckets] [--key=value ...]")
+    require(positional.length >= 2 && positional.length <= 3,
+      s"usage: Run <pagesParquet|synth:N> <outRoot> [nBuckets] [--key=value ...]" +
+        (if (positional.length > 3)
+          s" — unexpected positional args ${positional.drop(3).mkString(", ")}" +
+            " (flags need the -- prefix)" else ""))
     val cfg = parseConfig(flags)
     val spark = SparkBoot.session(sys.env.getOrElse("SPARK_GRAFT_CPUS", "32"))
     val buckets = if (positional.length > 2) positional(2).toInt else 32

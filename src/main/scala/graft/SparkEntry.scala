@@ -17,13 +17,22 @@ object SparkEntry {
   private def t(s: SparkSession, dir: String, name: String): DataFrame =
     s.read.parquet(s"$dir/$name.parquet")
 
-  /** Table row count memoized per (dir, table): the count job is parquet-
-    * metadata-only, but repeated invocations (q40 sizes its IVF quantizer
-    * from it) shouldn't re-run even a metadata job per call (VERDICT r4).
+  /** Table row count memoized per (dir, table, mtime): the count job is
+    * parquet-metadata-only, but repeated invocations (q40 sizes its IVF
+    * quantizer from it) shouldn't re-run even a metadata job per call
+    * (VERDICT r4). The key carries the table directory's modification
+    * time so a rewritten table (long-lived session regenerating test
+    * data) re-counts instead of serving a stale size.
     */
   private val tableCounts = new scala.collection.concurrent.TrieMap[String, Long]
-  private def cachedCount(s: SparkSession, dir: String, name: String): Long =
-    tableCounts.getOrElseUpdate(s"$dir/$name", t(s, dir, name).count())
+  private def cachedCount(s: SparkSession, dir: String, name: String): Long = {
+    val p = new org.apache.hadoop.fs.Path(s"$dir/$name.parquet")
+    val mtime =
+      try p.getFileSystem(s.sparkContext.hadoopConfiguration)
+        .getFileStatus(p).getModificationTime
+      catch { case _: java.io.IOException => 0L }
+    tableCounts.getOrElseUpdate(s"$dir/$name@$mtime", t(s, dir, name).count())
+  }
 
   /** MinHash + LSH candidate pairs (shingle -> minhash -> band ->
     * bucket-join), shared by q18 (pair listing), q50 (cluster
@@ -1763,6 +1772,48 @@ object SparkEntry {
       |  FROM banded a JOIN banded b
       |    ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id)""".stripMargin
 
+  /** Shared Gopher-repetition-gate CTE chain (q55/q62 oracles) — mirrors
+    * [[withRepetitionStats]]; `src` is a CTE/table exposing (doc_id, ts)
+    * with ts the token list. Emits big/bc/top/five/fc/dup; pair with
+    * [[repetitionKeepSql]] so the keep rule can never desync between the
+    * oracles the way an inlined copy could.
+    */
+  private def repetitionCtes(src: String): String =
+    s"""big AS (
+      |  SELECT doc_id,
+      |    unnest(list_transform(range(1, len(ts)),
+      |      i -> ts[CAST(i AS INT)] || ' ' || ts[CAST(i+1 AS INT)])) AS bg
+      |  FROM $src
+      |), bc AS (
+      |  SELECT doc_id, bg, count(*) AS cnt FROM big GROUP BY doc_id, bg
+      |), top AS (
+      |  SELECT doc_id, bg, cnt,
+      |    row_number() OVER (PARTITION BY doc_id
+      |                       ORDER BY cnt DESC, bg ASC) AS rk
+      |  FROM bc
+      |), five AS (
+      |  SELECT doc_id,
+      |    unnest(list_transform(range(1, len(ts) - 3),
+      |      i -> ts[CAST(i AS INT)] || ' ' || ts[CAST(i+1 AS INT)] || ' ' ||
+      |           ts[CAST(i+2 AS INT)] || ' ' || ts[CAST(i+3 AS INT)] || ' ' ||
+      |           ts[CAST(i+4 AS INT)])) AS fg
+      |  FROM $src
+      |), fc AS (
+      |  SELECT doc_id, fg, count(*) AS cnt FROM five GROUP BY doc_id, fg
+      |), dup AS (
+      |  SELECT doc_id,
+      |    CAST(coalesce(sum(cnt) FILTER (cnt > 1), 0) AS BIGINT) AS dup5_occ
+      |  FROM fc GROUP BY doc_id
+      |)""".stripMargin
+
+  /** The Gopher keep rule over [[repetitionCtes]]' top/dup joined against
+    * alias `a` (which exposes ts).
+    */
+  private def repetitionKeepSql(a: String): String =
+    s"""CAST(coalesce(top.cnt, 0) AS BIGINT) * 25 <= len($a.ts)
+      |   AND coalesce(dup.dup5_occ, 0) * 4 <= len($a.ts)
+      |   AND CAST(len(list_distinct($a.ts)) AS BIGINT) * 3 >= len($a.ts)""".stripMargin
+
   def oracleSql: Map[String, String] = Map(
     "q01_wer_stats" ->
       """SELECT count(*) AS total_words,
@@ -2142,43 +2193,16 @@ object SparkEntry {
         |  CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]')) AS BIGINT) AS n_bpe
         |FROM documents ORDER BY doc_id""".stripMargin,
     "q55_repetition_filter" ->
-      """WITH toks AS (
+      s"""WITH toks AS (
         |  SELECT doc_id, string_split(text, ' ') AS ts FROM documents
-        |), big AS (
-        |  SELECT doc_id,
-        |    unnest(list_transform(range(1, len(ts)),
-        |      i -> ts[CAST(i AS INT)] || ' ' || ts[CAST(i+1 AS INT)])) AS bg
-        |  FROM toks
-        |), bc AS (
-        |  SELECT doc_id, bg, count(*) AS cnt FROM big GROUP BY doc_id, bg
-        |), top AS (
-        |  SELECT doc_id, bg, cnt,
-        |    row_number() OVER (PARTITION BY doc_id
-        |                       ORDER BY cnt DESC, bg ASC) AS rk
-        |  FROM bc
-        |), five AS (
-        |  SELECT doc_id,
-        |    unnest(list_transform(range(1, len(ts) - 3),
-        |      i -> ts[CAST(i AS INT)] || ' ' || ts[CAST(i+1 AS INT)] || ' ' ||
-        |           ts[CAST(i+2 AS INT)] || ' ' || ts[CAST(i+3 AS INT)] || ' ' ||
-        |           ts[CAST(i+4 AS INT)])) AS fg
-        |  FROM toks
-        |), fc AS (
-        |  SELECT doc_id, fg, count(*) AS cnt FROM five GROUP BY doc_id, fg
-        |), dup AS (
-        |  SELECT doc_id,
-        |    CAST(coalesce(sum(cnt) FILTER (cnt > 1), 0) AS BIGINT) AS dup5_occ
-        |  FROM fc GROUP BY doc_id
-        |)
+        |), ${repetitionCtes("toks")}
         |SELECT t.doc_id,
         |  CAST(len(ts) AS BIGINT) AS n_tokens,
         |  CAST(len(list_distinct(ts)) AS BIGINT) AS n_distinct,
         |  coalesce(top.bg, '') AS top_bigram,
         |  CAST(coalesce(top.cnt, 0) AS BIGINT) AS top_bigram_cnt,
         |  coalesce(dup.dup5_occ, 0) AS dup5_occ,
-        |  (CAST(coalesce(top.cnt, 0) AS BIGINT) * 25 <= len(ts)
-        |   AND coalesce(dup.dup5_occ, 0) * 4 <= len(ts)
-        |   AND CAST(len(list_distinct(ts)) AS BIGINT) * 3 >= len(ts)) AS keep
+        |  (${repetitionKeepSql("t")}) AS keep
         |FROM toks t
         |LEFT JOIN top ON t.doc_id = top.doc_id AND top.rk = 1
         |LEFT JOIN dup ON t.doc_id = dup.doc_id
@@ -2219,7 +2243,7 @@ object SparkEntry {
         |FROM tr JOIN test_sh USING (sh)
         |GROUP BY tr.doc_id ORDER BY tr.doc_id""".stripMargin,
     "q62_curation_pipeline" ->
-      """WITH s AS (
+      s"""WITH s AS (
         |  SELECT doc_id, text, lang,
         |    ('0x' || substr(md5('split:' || CAST(doc_id AS VARCHAR)), 1, 4))::BIGINT
         |      % 10 AS b
@@ -2229,38 +2253,11 @@ object SparkEntry {
         |                 ELSE 'test' END AS split,
         |    string_split(text, ' ') AS ts
         |  FROM s
-        |), big AS (
-        |  SELECT doc_id,
-        |    unnest(list_transform(range(1, len(ts)),
-        |      i -> ts[CAST(i AS INT)] || ' ' || ts[CAST(i+1 AS INT)])) AS bg
-        |  FROM sp
-        |), bc AS (
-        |  SELECT doc_id, bg, count(*) AS cnt FROM big GROUP BY doc_id, bg
-        |), top AS (
-        |  SELECT doc_id, cnt,
-        |    row_number() OVER (PARTITION BY doc_id
-        |                       ORDER BY cnt DESC, bg ASC) AS rk
-        |  FROM bc
-        |), five AS (
-        |  SELECT doc_id,
-        |    unnest(list_transform(range(1, len(ts) - 3),
-        |      i -> ts[CAST(i AS INT)] || ' ' || ts[CAST(i+1 AS INT)] || ' ' ||
-        |           ts[CAST(i+2 AS INT)] || ' ' || ts[CAST(i+3 AS INT)] || ' ' ||
-        |           ts[CAST(i+4 AS INT)])) AS fg
-        |  FROM sp
-        |), fc AS (
-        |  SELECT doc_id, fg, count(*) AS cnt FROM five GROUP BY doc_id, fg
-        |), dup AS (
-        |  SELECT doc_id,
-        |    CAST(coalesce(sum(cnt) FILTER (cnt > 1), 0) AS BIGINT) AS dup5_occ
-        |  FROM fc GROUP BY doc_id
-        |), q AS (
+        |), ${repetitionCtes("sp")}, q AS (
         |  SELECT sp.doc_id FROM sp
         |  LEFT JOIN top ON sp.doc_id = top.doc_id AND top.rk = 1
         |  LEFT JOIN dup ON sp.doc_id = dup.doc_id
-        |  WHERE CAST(coalesce(top.cnt, 0) AS BIGINT) * 25 <= len(ts)
-        |    AND coalesce(dup.dup5_occ, 0) * 4 <= len(ts)
-        |    AND CAST(len(list_distinct(ts)) AS BIGINT) * 3 >= len(ts)
+        |  WHERE ${repetitionKeepSql("sp")}
         |), test_sh AS (
         |  SELECT DISTINCT
         |    unnest(list_transform(range(1, greatest(length(text) - 23, 1) + 1),

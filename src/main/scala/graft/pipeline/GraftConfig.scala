@@ -38,6 +38,23 @@ final case class GraftConfig(
   require(maxCandidates >= 1, "maxCandidates must be >= 1")
   require(minBlockChars >= 0 && maxLinkDensity >= 0.0,
     "segmentation thresholds must be non-negative")
+
+  /** Deterministic fingerprint of every knob, for pinning a checkpoint
+    * root to the config that produced it
+    * ([[graft.plans.Checkpoint.pinRunConfig]]). Extractors are identified
+    * by NAME — a same-named extractor with a different transform function
+    * is indistinguishable here, which is the registry contract
+    * ([[graft.Run.parseConfig]] resolves names against one registry).
+    */
+  def canonical: String = Seq(
+    s"extractors=${extractors.map(_.name).mkString(",")}",
+    s"runLE=$runLE", s"maxCandidates=$maxCandidates",
+    s"minBlockChars=$minBlockChars", s"maxLinkDensity=$maxLinkDensity",
+    s"profileMinCount=$profileMinCount",
+    s"profileMaxPatterns=$profileMaxPatterns",
+    s"profileNoCache=$profileNoCache",
+    s"dynLexMinCount=$dynLexMinCount", s"dynLexTopN=$dynLexTopN"
+  ).mkString(";")
 }
 
 object GraftConfig {

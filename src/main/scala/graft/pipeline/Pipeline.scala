@@ -407,14 +407,21 @@ object Pipeline {
       runLE: Boolean = true): Dataset[CorrectedPage] = {
     val spark = aligned.sparkSession
     import spark.implicits._
-    val dyn = dynamicLexicon(aligned, profile, minCount, topN)
+    // two consumers of the aligned frame: the lexicon aggregation (an
+    // action, below) and the returned correction map. Without a persist
+    // the second pass would re-run the whole segment+align lineage from
+    // the source scan — the most expensive pass in the pipeline, doubled.
+    // The cache lives until the caller's terminal action; callers that
+    // hold the input reference can unpersist it afterwards.
+    val al = aligned.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val dyn = dynamicLexicon(al, profile, minCount, topN)
       .collect() // bounded by construction, see dynamicLexicon
       .groupBy(_.getString(0))
       .map { case (l, rows) => l -> rows.map(_.getString(1)).toSet }
     val bde = spark.sparkContext.broadcast(lexiconWith("de", profile))
     val ben = spark.sparkContext.broadcast(lexiconWith("en", profile))
     val bdyn = spark.sparkContext.broadcast(dyn)
-    aligned.map { ap =>
+    al.map { ap =>
       correctPage(ap, bde.value, ben.value, runLE,
         bdyn.value.getOrElse(ap.lang, Set.empty))
     }
@@ -681,6 +688,11 @@ object Pipeline {
     import spark.implicits._
     import graft.plans.Checkpoint
 
+    // refuse a resume under a different config: committed buckets hold
+    // the OLD config's output, pending ones would get the NEW one's —
+    // per-bucket mixed output with no error is the silent-duplication
+    // failure class the nBuckets pin already guards one level down
+    Checkpoint.pinRunConfig(spark, root, cfg.canonical)
     val seg = Checkpoint.runStage(spark, "segment", root, pages, "url", buckets) { df =>
       df.as[PageRow].map(segmentPage(_, cfg)).toDF()
     }

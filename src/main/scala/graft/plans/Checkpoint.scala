@@ -115,6 +115,32 @@ object Checkpoint {
     }
   }
 
+  /** Pin an opaque run-configuration fingerprint at the root on first
+    * run; refuse a resume under a different one. Same failure class as
+    * [[pinBucketCount]] one level up: committed buckets hold output
+    * computed under the OLD config, pending buckets would be recomputed
+    * under the NEW one — one table, two incompatible configs, no error.
+    * The caller supplies the canonical string (e.g.
+    * [[graft.pipeline.GraftConfig.canonical]]); an empty root adopts it.
+    */
+  def pinRunConfig(spark: SparkSession, root: String, canonical: String): Unit = {
+    val f = fs(spark, root)
+    val p = new Path(root, "_config")
+    if (f.exists(p)) {
+      val in = f.open(p)
+      val pinned =
+        try scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim
+        finally in.close()
+      require(pinned == canonical,
+        s"checkpoint root $root was committed under config [$pinned]; " +
+          s"resuming with [$canonical] would mix per-bucket output from two " +
+          "configs. Rerun with the original flags (or a fresh root).")
+    } else {
+      val out = f.create(p, true)
+      try out.write(s"$canonical\n".getBytes("UTF-8")) finally out.close()
+    }
+  }
+
   /** Commit one bucket's ledger entry: a single atomic file create. */
   private def commitEntry(spark: SparkSession, root: String, stage: String, e: BucketEntry): Unit = {
     val f = fs(spark, root)
@@ -155,7 +181,6 @@ object Checkpoint {
 
     var outSchema: org.apache.spark.sql.types.StructType = null
     if (todo.nonEmpty) {
-      val now0 = System.currentTimeMillis()
       val bucketOf = pmod(xxhash64(col(keyCol)), lit(nBuckets)).cast("int")
       // resume filter FIRST (prune completed buckets before any work),
       // then the stage transform, then per-bucket dynamic overwrite
@@ -241,7 +266,11 @@ object Checkpoint {
       // ledger commit AFTER the data commit: a crash between the two
       // re-processes those buckets (overwrite makes that idempotent)
       todo.foreach { b =>
-        val (rows, wall) = stats.getOrElse(b, (0L, now - now0))
+        // a bucket no task reported rows for is empty: it did no
+        // attributable work, so wallMs = 0 (the whole-stage elapsed time
+        // here would overstate per-bucket throughput sums ~|buckets|-fold
+        // on sparse stages)
+        val (rows, wall) = stats.getOrElse(b, (0L, 0L))
         commitEntry(spark, root, stage, BucketEntry(stage, b, rows, wall, now))
       }
     }

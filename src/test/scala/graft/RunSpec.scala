@@ -114,5 +114,15 @@ class RunSpec extends AnyFunSuite {
     val rerun = Run.execute(spark, "synth:40", rootOne, buckets = 4, cfg)
     assert(rerun.contains("\"processed\":0"), rerun)
     assert(snap(rootOne) == oneSnap, "resume changed config-run bytes")
+
+    // resuming under a DIFFERENT config (the forgotten-flag rerun) must
+    // refuse before any work: committed buckets hold the old config's
+    // output, pending ones would get the new one's — per-bucket mixed
+    // output with no error otherwise
+    val e = intercept[IllegalArgumentException] {
+      Run.execute(spark, "synth:40", rootOne, buckets = 4)
+    }
+    assert(e.getMessage.contains("config"), e.getMessage)
+    assert(snap(rootOne) == oneSnap, "refused resume still touched output")
   }
 }

@@ -1180,6 +1180,61 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    // URL canonicalization (the crawl-frontier/dedup normalizer every
+    // pipeline runs before url-level dedup): lowercase scheme+host, strip
+    // the default :80 port, drop the fragment, remove utm_* tracking
+    // params, collapse the trailing slash. Messy raw URLs derived
+    // deterministically from (doc_id, source) on both sides; every regex
+    // is RE2-safe (no lookahead) so Java and RE2 rewrite identically.
+    // Scale shape: pure row-local regex work, zero hash shuffles — the
+    // canonical url becomes the key of the (separate) dedup stage.
+    "q71_url_canon" -> ((s, dir) => {
+      val raw = concat(
+        when(col("doc_id") % 2 === 0, "HTTP").otherwise(lit("https")),
+        lit("://"),
+        when(col("doc_id") % 3 === 0,
+          concat(lit("Www."), col("source"), lit(".COM")))
+          .otherwise(concat(lit("www."), col("source"), lit(".com"))),
+        when(col("doc_id") % 5 === 0, ":80").otherwise(lit("")),
+        concat(lit("/path"), col("doc_id").cast("string")),
+        when(col("doc_id") % 7 === 0, "/").otherwise(lit("")),
+        when(col("doc_id") % 3 === 1,
+          concat(lit("?utm_source=feed&id="), col("doc_id").cast("string")))
+          .when(col("doc_id") % 3 === 2,
+            concat(lit("?id="), col("doc_id").cast("string")))
+          .otherwise(lit("")),
+        when(col("doc_id") % 11 === 0, "#sec2").otherwise(lit("")))
+      val schemeHost = lower(regexp_extract(col("raw_url"),
+        "^([A-Za-z]+://[^/?#]+)", 1))
+      val rest = regexp_extract(col("raw_url"),
+        "^[A-Za-z]+://[^/?#]+([^#]*)", 1) // path+query, fragment dropped
+      val canon =
+        regexp_replace(regexp_replace(regexp_replace(regexp_replace(
+          concat(regexp_replace(schemeHost, ":80$", ""), rest),
+          "\\?utm_[^&#]*&", "?"),   // leading utm param with a successor
+          "[?&]utm_[^&#]*", ""),    // remaining utm params
+          "/\\?", "?"), "/$", "")   // trailing slash (before query or at end)
+      t(s, dir, "documents")
+        .select(col("doc_id"), raw.as("raw_url"))
+        .withColumn("canon_url", canon)
+        .orderBy(col("doc_id"))
+    }),
+
+    // doc-length histogram in log2 buckets per lang (the length
+    // distribution report data pipelines track per release): bucket =
+    // floor(log2(n_tokens)) computed integer-exactly as bit_length-1
+    // (no floating log anywhere — hash-exact in any engine). Map-side
+    // combinable partial agg; report is |langs|x|buckets| rows.
+    "q72_length_hist" -> ((s, dir) => {
+      t(s, dir, "documents")
+        .select(col("lang"),
+          size(split(col("text"), " ")).cast("long").as("n_tokens"))
+        .withColumn("bucket", (length(bin(col("n_tokens"))) - 1).cast("long"))
+        .groupBy(col("lang"), col("bucket"))
+        .agg(count(lit(1)).as("docs"), sum(col("n_tokens")).as("tokens"))
+        .orderBy(col("lang"), col("bucket"))
+    }),
+
     // temperature-balanced language resampling (the multilingual mixture
     // rebalancer LLM pipelines run, XLM-R/UNIMAX-style, alpha = 0.5):
     // per-lang keep rate sqrt(n_min / n_lang) computed on a report-sized
@@ -2349,6 +2404,41 @@ object SparkEntry {
         |    '\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b', '<IP>', 'g'),
         |    '\b[0-9]{3}-[0-9]{4}\b', '<PHONE>', 'g') AS scrubbed
         |FROM a ORDER BY doc_id""".stripMargin,
+    "q71_url_canon" ->
+      """WITH r AS (
+        |  SELECT doc_id,
+        |    (CASE WHEN doc_id % 2 = 0 THEN 'HTTP' ELSE 'https' END) || '://' ||
+        |    (CASE WHEN doc_id % 3 = 0 THEN 'Www.' || source || '.COM'
+        |          ELSE 'www.' || source || '.com' END) ||
+        |    (CASE WHEN doc_id % 5 = 0 THEN ':80' ELSE '' END) ||
+        |    '/path' || CAST(doc_id AS VARCHAR) ||
+        |    (CASE WHEN doc_id % 7 = 0 THEN '/' ELSE '' END) ||
+        |    (CASE WHEN doc_id % 3 = 1
+        |          THEN '?utm_source=feed&id=' || CAST(doc_id AS VARCHAR)
+        |          WHEN doc_id % 3 = 2 THEN '?id=' || CAST(doc_id AS VARCHAR)
+        |          ELSE '' END) ||
+        |    (CASE WHEN doc_id % 11 = 0 THEN '#sec2' ELSE '' END) AS raw_url
+        |  FROM documents
+        |)
+        |SELECT doc_id, raw_url,
+        |  regexp_replace(regexp_replace(regexp_replace(regexp_replace(
+        |    regexp_replace(lower(regexp_extract(raw_url,
+        |        '^([A-Za-z]+://[^/?#]+)', 1)), ':80$', '') ||
+        |      regexp_extract(raw_url, '^[A-Za-z]+://[^/?#]+([^#]*)', 1),
+        |    '\?utm_[^&#]*&', '?', 'g'),
+        |    '[?&]utm_[^&#]*', '', 'g'),
+        |    '/\?', '?', 'g'), '/$', '') AS canon_url
+        |FROM r ORDER BY doc_id""".stripMargin,
+    "q72_length_hist" ->
+      """WITH d AS (
+        |  SELECT lang, CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+        |  FROM documents
+        |)
+        |SELECT lang,
+        |  CAST(length(format('{:b}', n_tokens)) - 1 AS BIGINT) AS bucket,
+        |  CAST(count(*) AS BIGINT) AS docs,
+        |  CAST(sum(n_tokens) AS BIGINT) AS tokens
+        |FROM d GROUP BY 1, 2 ORDER BY lang, bucket""".stripMargin,
     "q69_seq_pack" ->
       """WITH d AS (
         |  SELECT doc_id, doc_id % 8 AS shard,

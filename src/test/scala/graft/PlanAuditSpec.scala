@@ -278,6 +278,16 @@ class PlanAuditSpec extends AnyFunSuite {
       s"expected only the per-host dedup agg shuffle, got $exchanges:\n$p")
   }
 
+  test("url canonicalization is map-only; length histogram aggregates map-side") {
+    val p71 = plan(SparkEntry.queries("q71_url_canon")(spark, sf))
+    assert(!p71.contains("Join") && !p71.contains("Exchange hashpartitioning"),
+      s"url canonicalization must pipeline map-only:\n$p71")
+    val p72 = plan(SparkEntry.queries("q72_length_hist")(spark, sf))
+    assert(p72.contains("partial_"),
+      s"length histogram lost map-side combine:\n$p72")
+    assert(!p72.contains("Join"), s"unexpected join in length histogram:\n$p72")
+  }
+
   test("ANN recall eval never shuffles the corpus side") {
     val q = SparkEntry.queries("q65_ann_recall")
     val p = plan(q(spark, sf))

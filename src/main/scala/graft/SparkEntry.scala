@@ -129,6 +129,26 @@ object SparkEntry {
           col("n_distinct") * 3 >= col("n_tokens"))
       .drop("ts", "bgs", "fgs", "top")
 
+  /** Row-local distinct 24-char shingles (the decontamination n-gram). */
+  private def shingle24: Column = expr(
+    "transform(sequence(1, greatest(length(text) - 23, 1)), i -> substring(text, i, 24))")
+
+  /** 24-char-shingle contamination set: train-split docs (b < 8) sharing
+    * ANY shingle with the held-out test split (b = 9). Shared by q62/q73
+    * (q61 keeps its per-doc hit-count variant on the same [[shingle24]]).
+    * `docs` must carry (doc_id, text, b). Scale shape: the benchmark
+    * side's distinct shingles BROADCAST; the train side dedupes its
+    * shingles row-locally before the semi-join.
+    */
+  private[graft] def contaminatedTrainDocs(docs: DataFrame): DataFrame = {
+    val testSh = docs.filter(col("b") === 9)
+      .select(explode(array_distinct(shingle24)).as("sh")).distinct()
+    docs.filter(col("b") < 8)
+      .select(col("doc_id"), explode(array_distinct(shingle24)).as("sh"))
+      .join(broadcast(testSh), Seq("sh"))
+      .select(col("doc_id")).distinct()
+  }
+
   /** The q64 chunk-dedup core, shared with the volume-linearity bench
     * ([[graft.tools.ChunkDedupBench]]) so the recorded numbers always
     * measure the shape the product runs: row-local C-token chunking
@@ -1010,20 +1030,12 @@ object SparkEntry {
     // shuffles its parts need (decontam per-doc count, dedup window,
     // final partial agg) and the report is split-sized.
     "q62_curation_pipeline" -> ((s, dir) => {
-      val L = 24
-      val sh = expr(
-        s"transform(sequence(1, greatest(length(text) - ${L - 1}, 1)), i -> substring(text, i, $L))")
       val docs = t(s, dir, "documents").withColumn("b", splitBucket)
         .withColumn("split",
           when(col("b") < 8, "train").when(col("b") === 8, "val")
             .otherwise("test"))
       val quality = withRepetitionStats(docs).filter(col("keep"))
-      val testSh = docs.filter(col("b") === 9)
-        .select(explode(array_distinct(sh)).as("sh")).distinct()
-      val contaminated = docs.filter(col("b") < 8)
-        .select(col("doc_id"), explode(array_distinct(sh)).as("sh"))
-        .join(broadcast(testSh), Seq("sh"))
-        .select(col("doc_id")).distinct()
+      val contaminated = contaminatedTrainDocs(docs)
       val w = Window.partitionBy(col("h")).orderBy(col("doc_id").asc)
       quality.join(contaminated, Seq("doc_id"), "left_anti")
         .withColumn("h", md5(to_binary(col("text"), lit("utf-8"))))
@@ -1062,17 +1074,51 @@ object SparkEntry {
     // row-locally (array_distinct, no pre-shuffle) and the per-doc hit
     // count partial-aggregates in place after the broadcast semi-join.
     "q61_decontam" -> ((s, dir) => {
-      val L = 24
-      val sh = expr(
-        s"transform(sequence(1, greatest(length(text) - ${L - 1}, 1)), i -> substring(text, i, $L))")
       val docs = t(s, dir, "documents").withColumn("b", splitBucket)
       val testSh = docs.filter(col("b") === 9)
-        .select(explode(array_distinct(sh)).as("sh")).distinct()
+        .select(explode(array_distinct(shingle24)).as("sh")).distinct()
       docs.filter(col("b") < 8)
-        .select(col("doc_id"), explode(array_distinct(sh)).as("sh"))
+        .select(col("doc_id"), explode(array_distinct(shingle24)).as("sh"))
         .join(broadcast(testSh), Seq("sh"))
         .groupBy(col("doc_id")).agg(count(lit(1)).as("n_hit"))
         .orderBy(col("doc_id"))
+    }),
+
+    // gate funnel report (the curation observability dashboard): how many
+    // docs/tokens survive each cumulative stage of ingest -> quality gate
+    // -> benchmark decontam -> exact dedup. Single corpus pass: every
+    // doc's furthest-surviving level is computed in one frame (dedup rank
+    // orders survivors first inside the text-hash window so rank 1 lands
+    // on the kept doc), the per-level agg is report-sized, and the
+    // reverse-cumulative funnel joins two tiny frames. The only corpus
+    // shuffles are the decontam doc_id join and the dedup hash window —
+    // the same ones q62's production chain pays.
+    "q73_gate_funnel" -> ((s, dir) => {
+      val docs = t(s, dir, "documents").withColumn("b", splitBucket)
+      val contaminated = contaminatedTrainDocs(docs).withColumn("contam", lit(true))
+      val flagged = withRepetitionStats(docs)
+        .withColumn("h", md5(to_binary(col("text"), lit("utf-8"))))
+        .select(col("doc_id"), col("h"), col("keep"), col("n_tokens"))
+        .join(contaminated, Seq("doc_id"), "left")
+        .withColumn("pass2", col("keep") && !coalesce(col("contam"), lit(false)))
+      val w = Window.partitionBy(col("h"))
+        .orderBy(col("pass2").desc, col("doc_id").asc)
+      val byLevel = flagged
+        .withColumn("rk", row_number().over(w))
+        .withColumn("level",
+          when(col("pass2") && col("rk") === 1, 3L)
+            .when(col("pass2"), 2L)
+            .when(col("keep"), 1L)
+            .otherwise(0L))
+        .groupBy(col("level"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("n_tokens")).as("n_tokens"))
+      val stages = s.createDataFrame(Seq(
+        (0L, "ingest"), (1L, "quality"), (2L, "decontam"), (3L, "exact_dedup")))
+        .toDF("stage", "gate")
+      stages.join(byLevel, col("level") >= col("stage"))
+        .groupBy(col("stage"), col("gate"))
+        .agg(sum(col("n_docs")).as("docs"), sum(col("n_tokens")).as("tokens"))
+        .orderBy(col("stage"))
     }),
 
     // stratified deterministic sample: per-source top-k by content hash
@@ -1861,6 +1907,25 @@ object SparkEntry {
       |  FROM fc GROUP BY doc_id
       |)""".stripMargin
 
+  /** Shared 24-char-shingle decontam CTEs (q61/q62/q73 oracles) —
+    * mirrors [[shingle24]]/[[contaminatedTrainDocs]]; `src` must expose
+    * (doc_id, text, b). Emits test_sh (distinct held-out shingles) and
+    * tr (train docs' distinct shingles).
+    */
+  private def shingle24Ctes(src: String): String =
+    s"""test_sh AS (
+      |  SELECT DISTINCT
+      |    unnest(list_transform(range(1, greatest(length(text) - 23, 1) + 1),
+      |      i -> substr(text, CAST(i AS INT), 24))) AS sh
+      |  FROM $src WHERE b = 9
+      |), tr AS (
+      |  SELECT doc_id,
+      |    unnest(list_distinct(list_transform(
+      |      range(1, greatest(length(text) - 23, 1) + 1),
+      |      i -> substr(text, CAST(i AS INT), 24)))) AS sh
+      |  FROM $src WHERE b < 8
+      |)""".stripMargin
+
   /** The Gopher keep rule over [[repetitionCtes]]' top/dup joined against
     * alias `a` (which exposes ts).
     */
@@ -2277,26 +2342,54 @@ object SparkEntry {
         |  CAST(sum(length(text)) AS BIGINT) AS chars
         |FROM s GROUP BY 1, 2 ORDER BY split, lang""".stripMargin,
     "q61_decontam" ->
-      """WITH s AS (
+      s"""WITH s AS (
         |  SELECT doc_id, text,
         |    ('0x' || substr(md5('split:' || CAST(doc_id AS VARCHAR)), 1, 4))::BIGINT
         |      % 10 AS b
         |  FROM documents
-        |), test_sh AS (
-        |  SELECT DISTINCT
-        |    unnest(list_transform(range(1, greatest(length(text) - 23, 1) + 1),
-        |      i -> substr(text, CAST(i AS INT), 24))) AS sh
-        |  FROM s WHERE b = 9
-        |), tr AS (
-        |  SELECT doc_id,
-        |    unnest(list_distinct(list_transform(
-        |      range(1, greatest(length(text) - 23, 1) + 1),
-        |      i -> substr(text, CAST(i AS INT), 24)))) AS sh
-        |  FROM s WHERE b < 8
-        |)
+        |), ${shingle24Ctes("s")}
         |SELECT tr.doc_id, CAST(count(*) AS BIGINT) AS n_hit
         |FROM tr JOIN test_sh USING (sh)
         |GROUP BY tr.doc_id ORDER BY tr.doc_id""".stripMargin,
+    "q73_gate_funnel" ->
+      s"""WITH s AS (
+        |  SELECT doc_id, text,
+        |    ('0x' || substr(md5('split:' || CAST(doc_id AS VARCHAR)), 1, 4))::BIGINT
+        |      % 10 AS b
+        |  FROM documents
+        |), sp AS (
+        |  SELECT *, string_split(text, ' ') AS ts FROM s
+        |), ${repetitionCtes("sp")}, ${shingle24Ctes("sp")},
+        |contaminated AS (
+        |  SELECT DISTINCT tr.doc_id FROM tr JOIN test_sh USING (sh)
+        |), k AS (
+        |  SELECT sp.doc_id, md5(sp.text) AS h,
+        |    CAST(len(sp.ts) AS BIGINT) AS n_tokens,
+        |    (${repetitionKeepSql("sp")}) AS keep,
+        |    ((${repetitionKeepSql("sp")}) AND c.doc_id IS NULL) AS pass2
+        |  FROM sp
+        |  LEFT JOIN top ON sp.doc_id = top.doc_id AND top.rk = 1
+        |  LEFT JOIN dup ON sp.doc_id = dup.doc_id
+        |  LEFT JOIN contaminated c ON sp.doc_id = c.doc_id
+        |), r AS (
+        |  SELECT *, row_number() OVER (PARTITION BY h
+        |                               ORDER BY pass2 DESC, doc_id) AS rnk
+        |  FROM k
+        |), g AS (
+        |  SELECT CASE WHEN pass2 AND rnk = 1 THEN 3 WHEN pass2 THEN 2
+        |              WHEN keep THEN 1 ELSE 0 END AS level,
+        |    CAST(count(*) AS BIGINT) AS n_docs,
+        |    CAST(sum(n_tokens) AS BIGINT) AS n_tokens
+        |  FROM r GROUP BY 1
+        |), st AS (
+        |  SELECT * FROM (VALUES (CAST(0 AS BIGINT), 'ingest'),
+        |    (CAST(1 AS BIGINT), 'quality'), (CAST(2 AS BIGINT), 'decontam'),
+        |    (CAST(3 AS BIGINT), 'exact_dedup')) AS t(stage, gate)
+        |)
+        |SELECT st.stage, st.gate, CAST(sum(g.n_docs) AS BIGINT) AS docs,
+        |  CAST(sum(g.n_tokens) AS BIGINT) AS tokens
+        |FROM st JOIN g ON g.level >= st.stage
+        |GROUP BY st.stage, st.gate ORDER BY st.stage""".stripMargin,
     "q62_curation_pipeline" ->
       s"""WITH s AS (
         |  SELECT doc_id, text, lang,
@@ -2313,18 +2406,7 @@ object SparkEntry {
         |  LEFT JOIN top ON sp.doc_id = top.doc_id AND top.rk = 1
         |  LEFT JOIN dup ON sp.doc_id = dup.doc_id
         |  WHERE ${repetitionKeepSql("sp")}
-        |), test_sh AS (
-        |  SELECT DISTINCT
-        |    unnest(list_transform(range(1, greatest(length(text) - 23, 1) + 1),
-        |      i -> substr(text, CAST(i AS INT), 24))) AS sh
-        |  FROM sp WHERE b = 9
-        |), tr AS (
-        |  SELECT doc_id,
-        |    unnest(list_distinct(list_transform(
-        |      range(1, greatest(length(text) - 23, 1) + 1),
-        |      i -> substr(text, CAST(i AS INT), 24)))) AS sh
-        |  FROM sp WHERE b < 8
-        |), contaminated AS (
+        |), ${shingle24Ctes("sp")}, contaminated AS (
         |  SELECT DISTINCT tr.doc_id FROM tr JOIN test_sh USING (sh)
         |), surv AS (
         |  SELECT sp.* FROM sp JOIN q USING (doc_id)

@@ -288,6 +288,16 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(!p72.contains("Join"), s"unexpected join in length histogram:\n$p72")
   }
 
+  test("gate funnel is one corpus pass: broadcast decontam, no product joins on the corpus") {
+    val p = plan(SparkEntry.queries("q73_gate_funnel")(spark, sf))
+    // the benchmark shingle set must broadcast; the only BNLJ allowed is
+    // the report-sized stages x levels join (4 x <=4 rows)
+    assert(p.contains("BroadcastHashJoin"),
+      s"decontam shingles not broadcast inside the funnel:\n$p")
+    assert(!p.contains("CartesianProduct"), s"funnel degenerated to cartesian:\n$p")
+    assert(p.contains("row_number"), s"missing dedup rank window:\n$p")
+  }
+
   test("ANN recall eval never shuffles the corpus side") {
     val q = SparkEntry.queries("q65_ann_recall")
     val p = plan(q(spark, sf))

@@ -129,6 +129,29 @@ object SparkEntry {
           col("n_distinct") * 3 >= col("n_tokens"))
       .drop("ts", "bgs", "fgs", "top")
 
+  /** URL canonicalizer (q71): lowercase scheme+host, strip the default
+    * :80 port, drop the fragment, remove utm_* tracking params, collapse
+    * the trailing slash. RE2-safe regexes only (no lookahead), mirrored
+    * verbatim in the q71 oracle. IDEMPOTENT — canon(canon(u)) == canon(u)
+    * (UrlCanonSpec fuzzes this), which is what lets re-ingested already-
+    * canonical urls flow through unchanged.
+    */
+  private[graft] def canonicalizeUrl(raw: Column): Column = {
+    val schemeHost = lower(regexp_extract(raw, "^([A-Za-z]+://[^/?#]+)", 1))
+    val rest = regexp_extract(raw,
+      "^[A-Za-z]+://[^/?#]+([^#]*)", 1) // path+query, fragment dropped
+    // each utm param is removed WITH its leading separator; when the
+    // dropped param was the '?' one, the first surviving '&' is promoted
+    // back to '?' (global-replace scanning can't see consecutive utm
+    // params' overlap — UrlCanonSpec's ?utm_a&utm_b&id case caught the
+    // dangling-'&' bug a single-pass spelling has)
+    regexp_replace(regexp_replace(regexp_replace(regexp_replace(
+      concat(regexp_replace(schemeHost, ":80$", ""), rest),
+      "[?&]utm_[^&#]*", ""),    // every utm param + its separator
+      "^([^?]*?)&", "$1?"),     // re-promote the first '&' if '?' was lost
+      "/\\?", "?"), "/$", "")   // trailing slash (before query or at end)
+  }
+
   /** Row-local distinct 24-char shingles (the decontamination n-gram). */
   private def shingle24: Column = expr(
     "transform(sequence(1, greatest(length(text) - 23, 1)), i -> substring(text, i, 24))")
@@ -1250,19 +1273,9 @@ object SparkEntry {
             concat(lit("?id="), col("doc_id").cast("string")))
           .otherwise(lit("")),
         when(col("doc_id") % 11 === 0, "#sec2").otherwise(lit("")))
-      val schemeHost = lower(regexp_extract(col("raw_url"),
-        "^([A-Za-z]+://[^/?#]+)", 1))
-      val rest = regexp_extract(col("raw_url"),
-        "^[A-Za-z]+://[^/?#]+([^#]*)", 1) // path+query, fragment dropped
-      val canon =
-        regexp_replace(regexp_replace(regexp_replace(regexp_replace(
-          concat(regexp_replace(schemeHost, ":80$", ""), rest),
-          "\\?utm_[^&#]*&", "?"),   // leading utm param with a successor
-          "[?&]utm_[^&#]*", ""),    // remaining utm params
-          "/\\?", "?"), "/$", "")   // trailing slash (before query or at end)
       t(s, dir, "documents")
         .select(col("doc_id"), raw.as("raw_url"))
-        .withColumn("canon_url", canon)
+        .withColumn("canon_url", canonicalizeUrl(col("raw_url")))
         .orderBy(col("doc_id"))
     }),
 
@@ -2507,8 +2520,8 @@ object SparkEntry {
         |    regexp_replace(lower(regexp_extract(raw_url,
         |        '^([A-Za-z]+://[^/?#]+)', 1)), ':80$', '') ||
         |      regexp_extract(raw_url, '^[A-Za-z]+://[^/?#]+([^#]*)', 1),
-        |    '\?utm_[^&#]*&', '?', 'g'),
         |    '[?&]utm_[^&#]*', '', 'g'),
+        |    '^([^?]*?)&', '\1?'),
         |    '/\?', '?', 'g'), '/$', '') AS canon_url
         |FROM r ORDER BY doc_id""".stripMargin,
     "q72_length_hist" ->

@@ -1144,6 +1144,41 @@ object SparkEntry {
         .orderBy(col("stage"))
     }),
 
+    // closed-vocabulary OOV rate (tokenizer/lexicon-fit report): the
+    // vocabulary is the train split's tokens with corpus frequency >= 5,
+    // and each held-out split reports its total vs out-of-vocabulary
+    // token counts per lang — the drift check run before reusing a
+    // tokenizer on a new crawl. The synthetic corpus's 31-token shared
+    // vocabulary can't produce OOV naturally, so every 10th doc carries
+    // a deterministic doc-unique token (same derivation in the oracle)
+    // — held-out ones land below any floor and keep n_oov live. Scale
+    // shape: the frequency floor cuts Zipf's long tail so the vocab side
+    // stays broadcastable; the probe side explodes row-locally and never
+    // shuffles before the broadcast join; the report partial-aggregates
+    // to |splits|x|langs| rows.
+    "q74_oov_rate" -> ((s, dir) => {
+      val docs = t(s, dir, "documents").withColumn("b", splitBucket)
+        .withColumn("split",
+          when(col("b") < 8, "train").when(col("b") === 8, "val")
+            .otherwise("test"))
+        .withColumn("aug", concat(col("text"),
+          when(col("doc_id") % 10 === 0,
+            concat(lit(" rare"), col("doc_id").cast("string")))
+            .otherwise(lit(""))))
+      val toks = docs.select(col("split"), col("lang"),
+        explode(split(col("aug"), " ")).as("tok"))
+      val vocab = toks.filter(col("split") === "train")
+        .groupBy(col("tok")).agg(count(lit(1)).as("cnt"))
+        .filter(col("cnt") >= 5)
+        .select(col("tok"), lit(true).as("known"))
+      toks.filter(col("split") =!= "train")
+        .join(broadcast(vocab), Seq("tok"), "left")
+        .groupBy(col("split"), col("lang"))
+        .agg(count(lit(1)).as("n_tokens"),
+          count(when(col("known").isNull, 1)).as("n_oov"))
+        .orderBy(col("split"), col("lang"))
+    }),
+
     // stratified deterministic sample: per-source top-k by content hash
     // (reservoir-sampling role with zero RNG state — the same k docs
     // survive any re-run or re-partitioning). Window top-k per stratum;
@@ -2432,6 +2467,28 @@ object SparkEntry {
         |SELECT split, lang, CAST(count(*) AS BIGINT) AS docs,
         |  CAST(sum(len(ts)) AS BIGINT) AS tokens
         |FROM dd WHERE rk = 1 GROUP BY split, lang ORDER BY split, lang""".stripMargin,
+    "q74_oov_rate" ->
+      """WITH s AS (
+        |  SELECT *, ('0x' || substr(md5('split:' || CAST(doc_id AS VARCHAR)), 1, 4))::BIGINT
+        |      % 10 AS b
+        |  FROM documents
+        |), sp AS (
+        |  SELECT lang, CASE WHEN b < 8 THEN 'train' WHEN b = 8 THEN 'val'
+        |                    ELSE 'test' END AS split,
+        |    unnest(string_split(text ||
+        |      CASE WHEN doc_id % 10 = 0
+        |           THEN ' rare' || CAST(doc_id AS VARCHAR) ELSE '' END,
+        |      ' ')) AS tok
+        |  FROM s
+        |), vocab AS (
+        |  SELECT tok FROM sp WHERE split = 'train'
+        |  GROUP BY tok HAVING count(*) >= 5
+        |)
+        |SELECT split, lang, CAST(count(*) AS BIGINT) AS n_tokens,
+        |  CAST(count(*) FILTER (v.tok IS NULL) AS BIGINT) AS n_oov
+        |FROM sp LEFT JOIN vocab v ON sp.tok = v.tok
+        |WHERE split <> 'train'
+        |GROUP BY split, lang ORDER BY split, lang""".stripMargin,
     "q58_stratified_sample" ->
       """SELECT source, doc_id, md5(text) AS h,
         |  CAST(row_number() OVER (PARTITION BY source

@@ -288,6 +288,14 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(!p72.contains("Join"), s"unexpected join in length histogram:\n$p72")
   }
 
+  test("OOV rate broadcasts the floored vocab; probe side never pre-shuffles") {
+    val p = plan(SparkEntry.queries("q74_oov_rate")(spark, sf))
+    assert(p.contains("BroadcastHashJoin"), s"vocab not broadcast:\n$p")
+    assert(!p.contains("SortMergeJoin"),
+      s"probe side shuffled for the vocab join:\n$p")
+    assert(p.contains("partial_"), s"report lost map-side combine:\n$p")
+  }
+
   test("gate funnel is one corpus pass: broadcast decontam, no product joins on the corpus") {
     val p = plan(SparkEntry.queries("q73_gate_funnel")(spark, sf))
     // the benchmark shingle set must broadcast; the only BNLJ allowed is

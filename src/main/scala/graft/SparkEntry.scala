@@ -1144,6 +1144,36 @@ object SparkEntry {
         .orderBy(col("stage"))
     }),
 
+    // as-of join (last-touch attribution): each purchase matches the
+    // user's most recent STRICTLY-prior view — the operator class Spark
+    // lacks natively. Spark-first spelling: no join at all — union both
+    // event kinds into ONE per-user window and carry the last view
+    // forward (last(..., ignoreNulls) over rows to -1), so the only
+    // shuffle is the user_id partition both sides need anyway; a
+    // join-based spelling would shuffle twice and explode on hot users.
+    // The oracle is DuckDB's NATIVE ASOF LEFT JOIN — an independent
+    // implementation, not a mirrored spelling ((user_id, ts) has no ties
+    // in the corpus, so both semantics pick the same row). Unmatched
+    // purchases keep NULL attribution.
+    "q75_asof_join" -> ((s, dir) => {
+      val ev = t(s, dir, "events")
+        .filter(col("event_type").isin("view", "purchase"))
+        .select(col("event_id"), col("user_id"), col("event_type"),
+          unix_micros(col("ts").cast("timestamp")).as("us"))
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("us").asc, col("event_id").asc)
+        .rowsBetween(Window.unboundedPreceding, -1)
+      ev.withColumn("lv",
+        last(when(col("event_type") === "view",
+            struct(col("event_id").as("vid"), col("us").as("vus"))),
+          ignoreNulls = true).over(w))
+        .filter(col("event_type") === "purchase")
+        .select(col("event_id"), col("user_id"),
+          col("lv.vid").as("view_event_id"),
+          ((col("us") - col("lv.vus")) / 1000000.0).as("gap_s"))
+        .orderBy(col("event_id"))
+    }),
+
     // closed-vocabulary OOV rate (tokenizer/lexicon-fit report): the
     // vocabulary is the train split's tokens with corpus frequency >= 5,
     // and each held-out split reports its total vs out-of-vocabulary
@@ -2467,6 +2497,18 @@ object SparkEntry {
         |SELECT split, lang, CAST(count(*) AS BIGINT) AS docs,
         |  CAST(sum(len(ts)) AS BIGINT) AS tokens
         |FROM dd WHERE rk = 1 GROUP BY split, lang ORDER BY split, lang""".stripMargin,
+    "q75_asof_join" ->
+      """WITH e AS (
+        |  SELECT event_id, user_id, event_type, epoch_us(ts) AS us
+        |  FROM events WHERE event_type IN ('view', 'purchase')
+        |), p AS (SELECT event_id, user_id, us FROM e WHERE event_type = 'purchase'
+        |), v AS (SELECT event_id AS vid, user_id, us AS vus FROM e
+        |         WHERE event_type = 'view')
+        |SELECT p.event_id, p.user_id, v.vid AS view_event_id,
+        |  (p.us - v.vus) / 1000000.0 AS gap_s
+        |FROM p ASOF LEFT JOIN v
+        |  ON p.user_id = v.user_id AND v.vus < p.us
+        |ORDER BY p.event_id""".stripMargin,
     "q74_oov_rate" ->
       """WITH s AS (
         |  SELECT *, ('0x' || substr(md5('split:' || CAST(doc_id AS VARCHAR)), 1, 4))::BIGINT

@@ -288,6 +288,16 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(!p72.contains("Join"), s"unexpected join in length histogram:\n$p72")
   }
 
+  test("as-of join is join-free: one user_id window, no join operator at all") {
+    val p = plan(SparkEntry.queries("q75_asof_join")(spark, sf))
+    // the Spark spelling must be the single-shuffle carry-forward window;
+    // any Join node means the two-shuffle hot-user-exploding spelling
+    // crept back in
+    assert(!p.contains("Join"), s"as-of grew a join:\n$p")
+    val exchanges = p.linesIterator.count(_.contains("Exchange hashpartitioning"))
+    assert(exchanges <= 1, s"expected one user_id shuffle, got $exchanges:\n$p")
+  }
+
   test("OOV rate broadcasts the floored vocab; probe side never pre-shuffles") {
     val p = plan(SparkEntry.queries("q74_oov_rate")(spark, sf))
     assert(p.contains("BroadcastHashJoin"), s"vocab not broadcast:\n$p")

@@ -78,6 +78,13 @@ object SparkEntry {
       concat(lit("split:"), col("doc_id").cast("string")), lit("utf-8"))),
       1, 4), 16, 10).cast("long") % 10
 
+  /** The split label over [[splitBucket]]'s `b` column — ONE definition
+    * of the train/val/test scheme (q56/q62/q74); an edit here moves every
+    * consumer at once instead of desyncing inline copies.
+    */
+  private def splitName: Column =
+    when(col("b") < 8, "train").when(col("b") === 8, "val").otherwise("test")
+
   /** q55's row-local Gopher-rule repetition stats appended to `docs`
     * (requires a `text` column): n_tokens, n_distinct, top_bigram,
     * top_bigram_cnt, dup5_occ, keep — sorted n-gram arrays folded with
@@ -129,27 +136,37 @@ object SparkEntry {
           col("n_distinct") * 3 >= col("n_tokens"))
       .drop("ts", "bgs", "fgs", "top")
 
-  /** URL canonicalizer (q71): lowercase scheme+host, strip the default
-    * :80 port, drop the fragment, remove utm_* tracking params, collapse
-    * the trailing slash. RE2-safe regexes only (no lookahead), mirrored
-    * verbatim in the q71 oracle. IDEMPOTENT — canon(canon(u)) == canon(u)
-    * (UrlCanonSpec fuzzes this), which is what lets re-ingested already-
+  /** URL canonicalizer (q71): lowercase scheme+host, strip the
+    * SCHEME-DEFAULT port (http:80 / https:443 only — https:80 is a
+    * different origin and survives), drop the fragment, remove utm_*
+    * tracking params, collapse trailing slashes. RE2-safe regexes only
+    * (no lookahead), mirrored in the q71 oracle. IDEMPOTENT —
+    * canon(canon(u)) == canon(u) (UrlCanonSpec fuzzes this incl. '//'
+    * tails and '&' in paths), which is what lets re-ingested already-
     * canonical urls flow through unchanged.
     */
   private[graft] def canonicalizeUrl(raw: Column): Column = {
-    val schemeHost = lower(regexp_extract(raw, "^([A-Za-z]+://[^/?#]+)", 1))
+    val schemeHost =
+      regexp_replace(regexp_replace(
+        lower(regexp_extract(raw, "^([A-Za-z]+://[^/?#]+)", 1)),
+        "^(http://[^:]*):80$", "$1"), "^(https://[^:]*):443$", "$1")
     val rest = regexp_extract(raw,
       "^[A-Za-z]+://[^/?#]+([^#]*)", 1) // path+query, fragment dropped
-    // each utm param is removed WITH its leading separator; when the
-    // dropped param was the '?' one, the first surviving '&' is promoted
-    // back to '?' (global-replace scanning can't see consecutive utm
-    // params' overlap — UrlCanonSpec's ?utm_a&utm_b&id case caught the
-    // dangling-'&' bug a single-pass spelling has)
-    regexp_replace(regexp_replace(regexp_replace(regexp_replace(
-      concat(regexp_replace(schemeHost, ":80$", ""), rest),
-      "[?&]utm_[^&#]*", ""),    // every utm param + its separator
-      "^([^?]*?)&", "$1?"),     // re-promote the first '&' if '?' was lost
-      "/\\?", "?"), "/$", "")   // trailing slash (before query or at end)
+    // path and query are split FIRST and handled separately: utm removal
+    // touches only the query, so a literal '&' in the path can never be
+    // promoted into a query separator (the /a&b?utm_s=1 case), and a
+    // query remnant left starting with '&' — meaning the removed utm
+    // param was the '?' one — is precisely the promotion condition.
+    // Each utm param is removed WITH its leading separator
+    // (global-replace scanning can't see consecutive utm params'
+    // overlap — UrlCanonSpec's ?utm_a&utm_b&id case caught the
+    // dangling-'&' bug a keep-the-'?' spelling has).
+    val path = regexp_replace(regexp_extract(rest, "^([^?]*)", 1), "/+$", "")
+    val query = regexp_replace(
+      regexp_replace(regexp_extract(rest, "(\\?.*)$", 1),
+        "[?&]utm_[^&#]*", ""),
+      "^&", "?")
+    concat(schemeHost, path, query)
   }
 
   /** Row-local distinct 24-char shingles (the decontamination n-gram). */
@@ -1054,9 +1071,7 @@ object SparkEntry {
     // final partial agg) and the report is split-sized.
     "q62_curation_pipeline" -> ((s, dir) => {
       val docs = t(s, dir, "documents").withColumn("b", splitBucket)
-        .withColumn("split",
-          when(col("b") < 8, "train").when(col("b") === 8, "val")
-            .otherwise("test"))
+        .withColumn("split", splitName)
       val quality = withRepetitionStats(docs).filter(col("keep"))
       val contaminated = contaminatedTrainDocs(docs)
       val w = Window.partitionBy(col("h")).orderBy(col("doc_id").asc)
@@ -1079,9 +1094,7 @@ object SparkEntry {
     "q56_split_mix" -> ((s, dir) => {
       t(s, dir, "documents")
         .withColumn("b", splitBucket)
-        .withColumn("split",
-          when(col("b") < 8, "train").when(col("b") === 8, "val")
-            .otherwise("test"))
+        .withColumn("split", splitName)
         .groupBy(col("split"), col("lang"))
         .agg(count(lit(1)).as("docs"),
           sum(size(split(col("text"), " ")).cast("long")).as("tokens"),
@@ -1138,9 +1151,12 @@ object SparkEntry {
       val stages = s.createDataFrame(Seq(
         (0L, "ingest"), (1L, "quality"), (2L, "decontam"), (3L, "exact_dedup")))
         .toDF("stage", "gate")
-      stages.join(byLevel, col("level") >= col("stage"))
+      // LEFT join + coalesce: a stage no doc survives still reports 0 —
+      // the dashboard's 4-row shape is total, not data-dependent
+      stages.join(byLevel, col("level") >= col("stage"), "left")
         .groupBy(col("stage"), col("gate"))
-        .agg(sum(col("n_docs")).as("docs"), sum(col("n_tokens")).as("tokens"))
+        .agg(coalesce(sum(col("n_docs")), lit(0L)).as("docs"),
+          coalesce(sum(col("n_tokens")), lit(0L)).as("tokens"))
         .orderBy(col("stage"))
     }),
 
@@ -1152,16 +1168,20 @@ object SparkEntry {
     // shuffle is the user_id partition both sides need anyway; a
     // join-based spelling would shuffle twice and explode on hot users.
     // The oracle is DuckDB's NATIVE ASOF LEFT JOIN — an independent
-    // implementation, not a mirrored spelling ((user_id, ts) has no ties
-    // in the corpus, so both semantics pick the same row). Unmatched
+    // implementation, not a mirrored spelling. Views at the SAME
+    // timestamp as a purchase sort AFTER it (the is_view ordering key),
+    // so the strictly-prior frame excludes them exactly like the
+    // oracle's v.vus < p.us — strict semantics hold even on ts ties
+    // (AsofTieSpec constructs one; the corpus has none). Unmatched
     // purchases keep NULL attribution.
     "q75_asof_join" -> ((s, dir) => {
       val ev = t(s, dir, "events")
         .filter(col("event_type").isin("view", "purchase"))
         .select(col("event_id"), col("user_id"), col("event_type"),
           unix_micros(col("ts").cast("timestamp")).as("us"))
+        .withColumn("is_view", (col("event_type") === "view").cast("int"))
       val w = Window.partitionBy(col("user_id"))
-        .orderBy(col("us").asc, col("event_id").asc)
+        .orderBy(col("us").asc, col("is_view").asc, col("event_id").asc)
         .rowsBetween(Window.unboundedPreceding, -1)
       ev.withColumn("lv",
         last(when(col("event_type") === "view",
@@ -1188,9 +1208,7 @@ object SparkEntry {
     // to |splits|x|langs| rows.
     "q74_oov_rate" -> ((s, dir) => {
       val docs = t(s, dir, "documents").withColumn("b", splitBucket)
-        .withColumn("split",
-          when(col("b") < 8, "train").when(col("b") === 8, "val")
-            .otherwise("test"))
+        .withColumn("split", splitName)
         .withColumn("aug", concat(col("text"),
           when(col("doc_id") % 10 === 0,
             concat(lit(" rare"), col("doc_id").cast("string")))
@@ -2444,7 +2462,7 @@ object SparkEntry {
         |  SELECT sp.doc_id, md5(sp.text) AS h,
         |    CAST(len(sp.ts) AS BIGINT) AS n_tokens,
         |    (${repetitionKeepSql("sp")}) AS keep,
-        |    ((${repetitionKeepSql("sp")}) AND c.doc_id IS NULL) AS pass2
+        |    (keep AND c.doc_id IS NULL) AS pass2
         |  FROM sp
         |  LEFT JOIN top ON sp.doc_id = top.doc_id AND top.rk = 1
         |  LEFT JOIN dup ON sp.doc_id = dup.doc_id
@@ -2464,9 +2482,10 @@ object SparkEntry {
         |    (CAST(1 AS BIGINT), 'quality'), (CAST(2 AS BIGINT), 'decontam'),
         |    (CAST(3 AS BIGINT), 'exact_dedup')) AS t(stage, gate)
         |)
-        |SELECT st.stage, st.gate, CAST(sum(g.n_docs) AS BIGINT) AS docs,
-        |  CAST(sum(g.n_tokens) AS BIGINT) AS tokens
-        |FROM st JOIN g ON g.level >= st.stage
+        |SELECT st.stage, st.gate,
+        |  CAST(coalesce(sum(g.n_docs), 0) AS BIGINT) AS docs,
+        |  CAST(coalesce(sum(g.n_tokens), 0) AS BIGINT) AS tokens
+        |FROM st LEFT JOIN g ON g.level >= st.stage
         |GROUP BY st.stage, st.gate ORDER BY st.stage""".stripMargin,
     "q62_curation_pipeline" ->
       s"""WITH s AS (
@@ -2614,15 +2633,21 @@ object SparkEntry {
         |    (CASE WHEN doc_id % 11 = 0 THEN '#sec2' ELSE '' END) AS raw_url
         |  FROM documents
         |)
+        |, x AS (
+        |  SELECT doc_id, raw_url,
+        |    regexp_replace(regexp_replace(
+        |      lower(regexp_extract(raw_url, '^([A-Za-z]+://[^/?#]+)', 1)),
+        |      '^(http://[^:]*):80$', '\1'),
+        |      '^(https://[^:]*):443$', '\1') AS sh,
+        |    regexp_extract(raw_url, '^[A-Za-z]+://[^/?#]+([^#]*)', 1) AS rest
+        |  FROM r
+        |)
         |SELECT doc_id, raw_url,
-        |  regexp_replace(regexp_replace(regexp_replace(regexp_replace(
-        |    regexp_replace(lower(regexp_extract(raw_url,
-        |        '^([A-Za-z]+://[^/?#]+)', 1)), ':80$', '') ||
-        |      regexp_extract(raw_url, '^[A-Za-z]+://[^/?#]+([^#]*)', 1),
-        |    '[?&]utm_[^&#]*', '', 'g'),
-        |    '^([^?]*?)&', '\1?'),
-        |    '/\?', '?', 'g'), '/$', '') AS canon_url
-        |FROM r ORDER BY doc_id""".stripMargin,
+        |  sh ||
+        |  regexp_replace(regexp_extract(rest, '^([^?]*)', 1), '/+$', '') ||
+        |  regexp_replace(regexp_replace(regexp_extract(rest, '(\?.*)$', 1),
+        |    '[?&]utm_[^&#]*', '', 'g'), '^&', '?') AS canon_url
+        |FROM x ORDER BY doc_id""".stripMargin,
     "q72_length_hist" ->
       """WITH d AS (
         |  SELECT lang, CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens

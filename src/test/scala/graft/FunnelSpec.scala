@@ -54,4 +54,20 @@ class FunnelSpec extends AnyFunSuite {
       (3L, "exact_dedup", 3L, all - nt(idJunk) - nt(idContam) - nt(idDup2)))
     assert(rows.toSeq == expected, s"funnel rows: ${rows.toSeq}")
   }
+
+  test("degenerate corpus (nothing survives) still reports all 4 stages with zeros") {
+    import spark.implicits._
+    val docs = Seq(0L -> Seq.fill(30)("a").mkString(" "),
+      1L -> Seq.fill(40)("b").mkString(" "))
+    val dir = java.nio.file.Files.createTempDirectory("graft-funnel0").toString
+    docs.toDF("doc_id", "text").withColumn("lang", lit("en"))
+      .withColumn("source", lit("s")).withColumn("n_chars", length(col("text")))
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val rows = SparkEntry.queries("q73_gate_funnel")(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3)))
+    assert(rows.toSeq == Seq(
+      (0L, "ingest", 2L, 70L), (1L, "quality", 0L, 0L),
+      (2L, "decontam", 0L, 0L), (3L, "exact_dedup", 0L, 0L)),
+      s"degenerate funnel lost its report shape: ${rows.toSeq}")
+  }
 }

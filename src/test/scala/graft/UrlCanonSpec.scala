@@ -30,6 +30,19 @@ class UrlCanonSpec extends AnyFunSuite {
       "https://example.com/a/?id=1#frag" -> "https://example.com/a?id=1",
       // :8080 is NOT the default port and must survive
       "http://example.com:8080/a" -> "http://example.com:8080/a",
+      // 80 is only http's default; https:80 is a DIFFERENT origin
+      "https://example.com:80/a" -> "https://example.com:80/a",
+      "https://example.com:443/a" -> "https://example.com/a",
+      "http://example.com:443/a" -> "http://example.com:443/a",
+      // an '&' that was in the path all along must NOT become a query
+      "http://example.com/a&b" -> "http://example.com/a&b",
+      "http://example.com/a&b?id=1" -> "http://example.com/a&b?id=1",
+      // path-& plus a dropped '?' utm param: the '&' still stays a path char
+      "http://example.com/a&b?utm_s=1" -> "http://example.com/a&b",
+      "http://example.com/a&b?utm_s=1&id=2" -> "http://example.com/a&b?id=2",
+      // trailing slash RUNS collapse in one pass (idempotency)
+      "http://example.com/a//" -> "http://example.com/a",
+      "http://example.com/a//?id=1" -> "http://example.com/a?id=1",
       // already-canonical urls flow through unchanged
       "https://example.com/a?id=1" -> "https://example.com/a?id=1")
     assert(canon(cases.map(_._1)) == cases.map(_._2))
@@ -40,7 +53,7 @@ class UrlCanonSpec extends AnyFunSuite {
     val schemes = Seq("http", "HTTP", "https", "HtTpS")
     val hosts = Seq("a.b.c", "WWW.X.COM", "h-1.example.org")
     val ports = Seq("", ":80", ":443", ":8080")
-    val paths = Seq("", "/p", "/p/q", "/p/q/")
+    val paths = Seq("", "/p", "/p/q", "/p/q/", "/p//", "/a&b", "/a&b/")
     val queries = Seq("", "?id=1", "?utm_s=1", "?utm_s=1&id=2",
       "?id=2&utm_s=1", "?utm_a=1&utm_b=2", "?x=1&utm_m=2&y=3")
     val frags = Seq("", "#f", "#sec2")

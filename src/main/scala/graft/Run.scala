@@ -30,6 +30,8 @@ import graft.pipeline.{GraftConfig, Pipeline}
   *   --profile-min-count=N           confusion-profile learning floor
   *   --profile-max-patterns=N        confusion-profile pattern cap
   *   --profile-no-cache=true|false   re-learn the profile every run
+  *   --dynamic-lexicon=true|false    corpus-global OOV protection
+  *                                   (dynamiclex role) in correction
   *
   * Defaults are the shipped constants, so a flagless invocation is
   * byte-identical to the unparameterized library call.
@@ -54,6 +56,7 @@ object Run {
           case "--profile-min-count" => cfg.copy(profileMinCount = v.toLong)
           case "--profile-max-patterns" => cfg.copy(profileMaxPatterns = v.toInt)
           case "--profile-no-cache" => cfg.copy(profileNoCache = v.toBoolean)
+          case "--dynamic-lexicon" => cfg.copy(dynamicLexicon = v.toBoolean)
           case other => sys.error(s"unknown flag '$other' (see Run scaladoc)")
         }
         case _ => sys.error(s"malformed flag '$flag' — expected --key=value")

@@ -32,7 +32,14 @@ final case class GraftConfig(
     profileNoCache: Boolean = false,
     /** Dynamic-lexicon bound (dynamiclex role, aio/aio.py:521-528). */
     dynLexMinCount: Long = 1,
-    dynLexTopN: Int = 10000
+    dynLexTopN: Int = 10000,
+    /** Corpus-global dynamic-lexicon protection in the correction stage
+      * (the dynamiclex artifact applied, not just derivable): OOV tokens
+      * the LE model accepts anywhere in the corpus are protected
+      * everywhere. Off by default — the per-occurrence LE gate is the
+      * reference's default behavior.
+      */
+    dynamicLexicon: Boolean = false
 ) {
   require(extractors.nonEmpty, "at least one extractor (the master) is required")
   require(maxCandidates >= 1, "maxCandidates must be >= 1")
@@ -53,7 +60,8 @@ final case class GraftConfig(
     s"profileMinCount=$profileMinCount",
     s"profileMaxPatterns=$profileMaxPatterns",
     s"profileNoCache=$profileNoCache",
-    s"dynLexMinCount=$dynLexMinCount", s"dynLexTopN=$dynLexTopN"
+    s"dynLexMinCount=$dynLexMinCount", s"dynLexTopN=$dynLexTopN",
+    s"dynamicLexicon=$dynamicLexicon"
   ).mkString(";")
 }
 

@@ -404,7 +404,8 @@ object Pipeline {
     */
   def correctWithDynamicLexicon(aligned: Dataset[AlignedPage],
       profile: Profile, minCount: Long = 1, topN: Int = 10000,
-      runLE: Boolean = true): Dataset[CorrectedPage] = {
+      runLE: Boolean = true,
+      maxCandidates: Int = Profiler.MaxCandidates): Dataset[CorrectedPage] = {
     val spark = aligned.sparkSession
     import spark.implicits._
     // two consumers of the aligned frame: the lexicon aggregation (an
@@ -423,7 +424,7 @@ object Pipeline {
     val bdyn = spark.sparkContext.broadcast(dyn)
     al.map { ap =>
       correctPage(ap, bde.value, ben.value, runLE,
-        bdyn.value.getOrElse(ap.lang, Set.empty))
+        bdyn.value.getOrElse(ap.lang, Set.empty), maxCandidates)
     }
   }
 
@@ -439,7 +440,7 @@ object Pipeline {
   def correctWithDynamicLexicon(aligned: Dataset[AlignedPage],
       cfg: GraftConfig): Dataset[CorrectedPage] =
     correctWithDynamicLexicon(aligned, profileFor(aligned.sparkSession, cfg),
-      cfg.dynLexMinCount, cfg.dynLexTopN, cfg.runLE)
+      cfg.dynLexMinCount, cfg.dynLexTopN, cfg.runLE, cfg.maxCandidates)
 
   /** Full pipeline: one narrow map chain, zero shuffles. */
   def run(pages: Dataset[PageRow]): Dataset[CorrectedPage] =
@@ -702,13 +703,20 @@ object Pipeline {
     }
     val corrected = Checkpoint.runStage(spark, "correct", root,
       aligned.output.drop("p_bucket"), "url", buckets) { df =>
-      val profile = profileFor(spark, cfg)
-      val bde = spark.sparkContext.broadcast(lexiconWith("de", profile))
-      val ben = spark.sparkContext.broadcast(lexiconWith("en", profile))
-      df.as[AlignedPage]
-        .map(ap => correctPage(ap, bde.value, ben.value, cfg.runLE,
-          Set.empty, cfg.maxCandidates))
-        .toDF()
+      if (cfg.dynamicLexicon)
+        // corpus-global OOV protection: the dynamiclex aggregation runs
+        // over the stage's pending pages (one extra bounded job inside
+        // the stage) and its bounded table broadcasts into correction
+        correctWithDynamicLexicon(df.as[AlignedPage], cfg).toDF()
+      else {
+        val profile = profileFor(spark, cfg)
+        val bde = spark.sparkContext.broadcast(lexiconWith("de", profile))
+        val ben = spark.sparkContext.broadcast(lexiconWith("en", profile))
+        df.as[AlignedPage]
+          .map(ap => correctPage(ap, bde.value, ben.value, cfg.runLE,
+            Set.empty, cfg.maxCandidates))
+          .toDF()
+      }
     }
     (corrected.output.drop("p_bucket"),
       Seq("segment" -> seg, "align" -> aligned, "correct" -> corrected))

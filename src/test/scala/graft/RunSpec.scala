@@ -115,6 +115,20 @@ class RunSpec extends AnyFunSuite {
     assert(rerun.contains("\"processed\":0"), rerun)
     assert(snap(rootOne) == oneSnap, "resume changed config-run bytes")
 
+    // the dynamiclex mode through the spark-submit surface: on this
+    // corpus the corpus-global protection holds exactly the tokens the
+    // per-occurrence LE gate already protects (MLSpec pins that), so the
+    // mode must produce byte-identical output THROUGH the checkpointed
+    // path while being a distinct pinned config
+    val dynCfg = Run.parseConfig(Seq("--dynamic-lexicon=true"))
+    val rootDyn = tmp("cfgdyn")
+    val dynJson = Run.execute(spark, "synth:40", rootDyn, buckets = 4, dynCfg)
+    assert(dynJson.contains("\"pages\":40"), dynJson)
+    assert(snap(rootDyn) == snap(rootDef),
+      "dynamiclex mode changed bytes on the LE-covered corpus")
+    assert(pipeline.GraftConfig.default.canonical !=
+      dynCfg.canonical, "dynamiclex must be part of the config pin")
+
     // resuming under a DIFFERENT config (the forgotten-flag rerun) must
     // refuse before any work: committed buckets hold the old config's
     // output, pending ones would get the new one's — per-bucket mixed

@@ -69,6 +69,35 @@ object SparkEntry {
       .withColumn("fp2", expr(lane(13, "1152921504606846883")))
   }
 
+  /** q76's corpus pass: word-frequency vocabulary with char-spaced
+    * symbol strings (" t a b l e "). The ONLY stage that touches the
+    * corpus — every BPE merge round after it is vocabulary-sized.
+    * package-private so PlanAuditSpec can audit the distributed stages
+    * directly (the query's returned frame is the driver-side 3-row
+    * merge report).
+    */
+  private[graft] def bpeVocab(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "documents")
+      .select(explode(split(col("text"), " ")).as("w"))
+      .filter(col("w").rlike("^[a-z]+$"))
+      .groupBy(col("w")).agg(count(lit(1)).as("cnt"))
+      .withColumn("sym",
+        concat(lit(" "), regexp_replace(col("w"), "(.)", "$1 ")))
+      .select(col("cnt"), col("sym"))
+
+  /** One BPE round's adjacent-pair frequencies over a symbol-string
+    * vocabulary frame: row-local pair explode, map-side-combinable sum
+    * weighted by word frequency.
+    */
+  private[graft] def bpePairCounts(syms: DataFrame): DataFrame = syms
+    .withColumn("ts", split(trim(col("sym")), " "))
+    .select(col("cnt"), explode(expr(
+      """IF(size(ts) < 2, array(),
+        |   zip_with(slice(ts, 1, size(ts) - 1),
+        |            slice(ts, 2, size(ts) - 1),
+        |            (a, b) -> concat(a, ' ', b)))""".stripMargin)).as("pair"))
+    .groupBy(col("pair")).agg(sum(col("cnt")).as("pcnt"))
+
   /** Deterministic split bucket 0..9 for a `doc_id` column (md5-of-id,
     * stable under re-ingest/re-partitioning; no RNG state) — q56's
     * train(<8)/val(8)/test(9) scheme, shared by q60/q61/q62.
@@ -1225,6 +1254,91 @@ object SparkEntry {
         .agg(count(lit(1)).as("n_tokens"),
           count(when(col("known").isNull, 1)).as("n_oov"))
         .orderBy(col("split"), col("lang"))
+    }),
+
+    // Distributed BPE merge learning (tokenizer fitting, the train-side
+    // complement of q74's OOV eval): 3 merge rounds, each one a
+    // vocabulary-sized aggregation. Round k counts adjacent symbol-pair
+    // frequencies (weighted by word frequency), picks the top pair
+    // (count desc, pair asc — deterministic tie-break), and applies the
+    // merge to every symbol string via literal space-delimited replace.
+    // Scale shape: ONE corpus pass builds the word-frequency table
+    // (map-side combinable groupBy, persisted — the q51 cache
+    // lifecycle); every later round operates on the vocabulary table
+    // (millions of rows, not trillions of tokens) — exactly how
+    // production distributed BPE trainers decouple corpus size from
+    // merge-iteration cost. The per-round argmax is a distributed
+    // orderBy+limit(1) (partial top-1 folds map-side) whose single row
+    // the driver reads and re-injects as a literal — the same
+    // driver-picks-merge step every BPE trainer has; the result IS that
+    // 3-row report. Merge convention: replace() scans left-to-right
+    // non-overlapping, so a shared separator between back-to-back
+    // occurrences ("a b a b") defers the second merge to the next round
+    // — a documented deviation from per-occurrence greedy BPE, applied
+    // identically on both sides of the oracle.
+    "q76_bpe_merges" -> ((s, dir) => {
+      val words = bpeVocab(s, dir).persist()
+      var syms = words
+      val rounds = (1 to 3).map { k =>
+        val top = bpePairCounts(syms)
+          .orderBy(col("pcnt").desc, col("pair").asc).limit(1).collect()(0)
+        val (pair, pcnt) = (top.getString(0), top.getLong(1))
+        // pair is two [a-z]+ symbols — safe to inline as a SQL literal
+        syms = syms.withColumn("sym",
+          expr(s"replace(sym, ' $pair ', ' ${pair.replace(" ", "")} ')"))
+        (k.toLong, pair, pcnt)
+      }
+      words.unpersist()
+      import s.implicits._
+      rounds.toDF("merge_rank", "pair", "cnt").coalesce(1)
+        .orderBy(col("merge_rank"))
+    }),
+
+    // DSIR-style hashed-feature importance selection: score every doc by
+    // how much its hashed word-unigram distribution resembles a target
+    // subcorpus vs the raw corpus, then keep score > 0 (Xie et al.'s
+    // data-selection-with-importance-resampling role, integer-exact).
+    // Per 64-bucket feature b the weight is the clamped integer
+    // log-ratio surrogate clamp(10*(ct+1)(NR+64) div (cr+1)(NT+64) - 10,
+    // ±9) — Laplace-smoothed, 0 for buckets the target and raw corpus
+    // use at the same rate, ±9 for strongly target/raw-flavored buckets;
+    // a doc's score sums its tokens' bucket weights. Exact integers end
+    // to end (no float log), so the oracle hash-matches; the cross-
+    // multiplied compare stays in int64 up to ~10^8.5 tokens per side —
+    // beyond that, swap the surrogate for a double log-ratio (the
+    // selection report is then rows-only checkable). Discriminating
+    // fixture: docs carry 8 injected 'alpha' (grp 0,1) or 'beta'
+    // (grp 2,3) domain tokens; the target (doc_id%8==0) is a strict
+    // subset of the alpha half, and selection must generalize to the
+    // non-target alpha residue while rejecting beta. Scale shape: pass 1
+    // reduces map-side to 64 bucket rows; pass 2 is a narrow map +
+    // broadcast join + per-doc agg — no all-pairs, no wide shuffle.
+    "q77_dsir_select" -> ((s, dir) => {
+      val aug = t(s, dir, "documents")
+        .select(col("doc_id"), (col("doc_id") % 4).as("grp"),
+          concat(col("text"), when(col("doc_id") % 4 < 2, lit(" alpha" * 8))
+            .otherwise(lit(" beta" * 8))).as("aug"),
+          (col("doc_id") % 8 === 0).as("is_t"))
+      val toks = aug.select(col("doc_id"), col("grp"), col("is_t"),
+        explode(split(col("aug"), " ")).as("tok"))
+        .withColumn("b", conv(substring(md5(to_binary(
+          concat(lit("dsir:"), col("tok")), lit("utf-8"))), 1, 4), 16, 10)
+          .cast("long") % 64)
+      val bs = toks.groupBy(col("b"))
+        .agg(count(when(col("is_t"), 1)).as("ct"), count(lit(1)).as("cr"))
+      val votes = bs
+        .withColumn("nt", sum(col("ct")).over(Window.partitionBy()))
+        .withColumn("nr", sum(col("cr")).over(Window.partitionBy()))
+        .withColumn("w", least(lit(9L), greatest(lit(-9L), expr(
+          "((ct + 1) * (nr + 64) * 10) div ((cr + 1) * (nt + 64)) - 10"))))
+        .select(col("b"), col("w"))
+      toks.join(broadcast(votes), Seq("b"))
+        .groupBy(col("doc_id"), col("grp")).agg(sum(col("w")).as("score"))
+        .groupBy(col("grp"))
+        .agg(count(lit(1)).as("n_docs"),
+          count(when(col("score") > 0, 1)).as("n_selected"),
+          sum(col("score")).as("sum_score"))
+        .orderBy(col("grp"))
     }),
 
     // stratified deterministic sample: per-source top-k by content hash
@@ -2550,6 +2664,76 @@ object SparkEntry {
         |FROM sp LEFT JOIN vocab v ON sp.tok = v.tok
         |WHERE split <> 'train'
         |GROUP BY split, lang ORDER BY split, lang""".stripMargin,
+    "q76_bpe_merges" ->
+      """WITH words AS (
+        |  SELECT w, CAST(count(*) AS BIGINT) AS cnt FROM (
+        |    SELECT unnest(string_split(text, ' ')) AS w FROM documents) tt
+        |  WHERE regexp_matches(w, '^[a-z]+$') GROUP BY w
+        |), s0 AS (
+        |  SELECT cnt, ' ' || regexp_replace(w, '(.)', '\1 ', 'g') AS sym FROM words
+        |), a1 AS (
+        |  SELECT pair, CAST(sum(cnt) AS BIGINT) AS pcnt FROM (
+        |    SELECT cnt, unnest(list_transform(range(1, len(l)),
+        |                                      i -> l[i] || ' ' || l[i+1])) AS pair
+        |    FROM (SELECT cnt, string_split(trim(sym), ' ') AS l FROM s0) z) p
+        |  GROUP BY pair
+        |), t1 AS (SELECT pair, pcnt FROM a1 ORDER BY pcnt DESC, pair LIMIT 1),
+        |s1 AS (
+        |  SELECT cnt, replace(sym, ' ' || (SELECT pair FROM t1) || ' ',
+        |                      ' ' || replace((SELECT pair FROM t1), ' ', '') || ' ') AS sym
+        |  FROM s0
+        |), a2 AS (
+        |  SELECT pair, CAST(sum(cnt) AS BIGINT) AS pcnt FROM (
+        |    SELECT cnt, unnest(list_transform(range(1, len(l)),
+        |                                      i -> l[i] || ' ' || l[i+1])) AS pair
+        |    FROM (SELECT cnt, string_split(trim(sym), ' ') AS l FROM s1) z) p
+        |  GROUP BY pair
+        |), t2 AS (SELECT pair, pcnt FROM a2 ORDER BY pcnt DESC, pair LIMIT 1),
+        |s2 AS (
+        |  SELECT cnt, replace(sym, ' ' || (SELECT pair FROM t2) || ' ',
+        |                      ' ' || replace((SELECT pair FROM t2), ' ', '') || ' ') AS sym
+        |  FROM s1
+        |), a3 AS (
+        |  SELECT pair, CAST(sum(cnt) AS BIGINT) AS pcnt FROM (
+        |    SELECT cnt, unnest(list_transform(range(1, len(l)),
+        |                                      i -> l[i] || ' ' || l[i+1])) AS pair
+        |    FROM (SELECT cnt, string_split(trim(sym), ' ') AS l FROM s2) z) p
+        |  GROUP BY pair
+        |), t3 AS (SELECT pair, pcnt FROM a3 ORDER BY pcnt DESC, pair LIMIT 1)
+        |SELECT CAST(1 AS BIGINT) AS merge_rank, pair, pcnt AS cnt FROM t1
+        |UNION ALL SELECT 2, pair, pcnt FROM t2
+        |UNION ALL SELECT 3, pair, pcnt FROM t3
+        |ORDER BY merge_rank""".stripMargin,
+    "q77_dsir_select" ->
+      """WITH aug AS (
+        |  SELECT doc_id, doc_id % 4 AS grp,
+        |    text || CASE WHEN doc_id % 4 < 2 THEN repeat(' alpha', 8)
+        |                 ELSE repeat(' beta', 8) END AS aug,
+        |    doc_id % 8 = 0 AS is_t
+        |  FROM documents
+        |), toks AS (
+        |  SELECT doc_id, grp, is_t,
+        |    ('0x' || substr(md5('dsir:' || tok), 1, 4))::BIGINT % 64 AS b
+        |  FROM (SELECT doc_id, grp, is_t,
+        |          unnest(string_split(aug, ' ')) AS tok FROM aug) z
+        |), bs AS (
+        |  SELECT b, CAST(count(*) FILTER (is_t) AS BIGINT) AS ct,
+        |         CAST(count(*) AS BIGINT) AS cr
+        |  FROM toks GROUP BY b
+        |), tot AS (SELECT CAST(sum(ct) AS BIGINT) AS nt,
+        |                  CAST(sum(cr) AS BIGINT) AS nr FROM bs),
+        |votes AS (
+        |  SELECT b, LEAST(9, GREATEST(-9,
+        |    ((ct + 1) * (nr + 64) * 10) // ((cr + 1) * (nt + 64)) - 10)) AS w
+        |  FROM bs, tot
+        |), scores AS (
+        |  SELECT doc_id, grp, CAST(sum(w) AS BIGINT) AS score
+        |  FROM toks JOIN votes USING (b) GROUP BY doc_id, grp
+        |)
+        |SELECT grp, CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST(count(*) FILTER (score > 0) AS BIGINT) AS n_selected,
+        |  CAST(sum(score) AS BIGINT) AS sum_score
+        |FROM scores GROUP BY grp ORDER BY grp""".stripMargin,
     "q58_stratified_sample" ->
       """SELECT source, doc_id, md5(text) AS h,
         |  CAST(row_number() OVER (PARTITION BY source

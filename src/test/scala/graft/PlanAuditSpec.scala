@@ -306,6 +306,33 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(p.contains("partial_"), s"report lost map-side combine:\n$p")
   }
 
+  test("BPE merge rounds never shuffle more than vocabulary-sized frames") {
+    // the query's returned frame is the driver-side 3-row merge report,
+    // so audit the two distributed stages directly: the corpus pass
+    // (vocab build) and one merge round's pair counting
+    val vocab = SparkEntry.bpeVocab(spark, sf)
+    val pv = plan(vocab)
+    assert(pv.contains("partial_count"),
+      s"word-freq agg lost map-side combine:\n$pv")
+    // corpus scan must read only the text column
+    val read = pv.linesIterator.find(_.contains("ReadSchema")).getOrElse("")
+    assert(read.contains("text") && !read.contains("doc_id"),
+      s"vocab pass reads more than text: $read")
+    val pp = plan(SparkEntry.bpePairCounts(vocab))
+    assert(pp.contains("partial_sum"),
+      s"pair-count agg lost map-side combine:\n$pp")
+    assert(!pp.contains("Join") && !pp.contains("CartesianProduct"),
+      s"pair counting should be join-free:\n$pp")
+  }
+
+  test("DSIR selection broadcasts the 64-row vote table; corpus side never pre-shuffles") {
+    val p = plan(SparkEntry.queries("q77_dsir_select")(spark, sf))
+    assert(p.contains("BroadcastHashJoin"), s"vote table not broadcast:\n$p")
+    assert(!p.contains("SortMergeJoin"),
+      s"corpus token side shuffled for the vote join:\n$p")
+    assert(p.contains("partial_"), s"bucket stats lost map-side combine:\n$p")
+  }
+
   test("gate funnel is one corpus pass: broadcast decontam, no product joins on the corpus") {
     val p = plan(SparkEntry.queries("q73_gate_funnel")(spark, sf))
     // the benchmark shingle set must broadcast; the only BNLJ allowed is

@@ -1,0 +1,73 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Generator-fact pins for the two tokenizer/selection training ops:
+  *
+  *  - q76_bpe_merges: distributed BPE merge learning must behave like a
+  *    merge sequence — per-round best-pair counts are non-increasing
+  *    (a post-merge pair can never beat the pair it was built from),
+  *    pairs are well-formed two-symbol strings, and each round's winner
+  *    differs (a merged pair's residual count collapses).
+  *  - q77_dsir_select: the importance-selection must DISCRIMINATE and
+  *    GENERALIZE — the target set is a strict subset of the alpha half
+  *    (doc_id%8==0 ⊂ grp 0), yet grp 1 (alpha flavor, ZERO overlap with
+  *    the target) must be selected at a high rate while both beta groups
+  *    are rejected outright. A degenerate scorer (all-selected or
+  *    none-selected) fails here before the oracle would even notice.
+  */
+class TokenizerDsirSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = SparkTestSession.spark
+  private val sf = "/root/testdata/sf0.001"
+
+  test("q76: merge sequence is well-formed with non-increasing counts") {
+    val rows = SparkEntry.queries("q76_bpe_merges")(spark, sf)
+      .collect().sortBy(_.getLong(0))
+    assert(rows.length == 3)
+    val pairs = rows.map(_.getString(1))
+    val cnts = rows.map(_.getLong(2))
+    assert(pairs.distinct.length == 3, s"repeated winner: ${pairs.toSeq}")
+    pairs.foreach { p =>
+      val syms = p.split(" ")
+      assert(syms.length == 2 && syms.forall(_.matches("[a-z]+")),
+        s"malformed pair '$p'")
+    }
+    assert(cnts(0) >= cnts(1) && cnts(1) >= cnts(2) && cnts(2) > 0,
+      s"counts not non-increasing: ${cnts.toSeq}")
+  }
+
+  test("q76: round-2 winner reflects the applied round-1 merge") {
+    // the round-1 winner must no longer dominate round 2: its residual
+    // count (separator-shared back-to-back runs only) is strictly below
+    // the round-2 winner's count — i.e. the merge was actually applied
+    // to the symbol strings, not just reported
+    val rows = SparkEntry.queries("q76_bpe_merges")(spark, sf)
+      .collect().sortBy(_.getLong(0))
+    assert(rows(0).getString(1) != rows(1).getString(1))
+  }
+
+  test("q77: selection generalizes to non-target alpha and rejects beta") {
+    val rows = SparkEntry.queries("q77_dsir_select")(spark, sf)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toMap
+    assert(rows.keySet == Set(0L, 1L, 2L, 3L))
+    val (n0, sel0, sc0) = rows(0L)
+    val (n1, sel1, sc1) = rows(1L)
+    val (n2, sel2, sc2) = rows(2L)
+    val (n3, sel3, sc3) = rows(3L)
+    // alpha groups: high selection rate, positive aggregate score;
+    // grp 1 has ZERO docs in the target (doc_id%8==0 => grp 0), so its
+    // selection is pure generalization of the hashed-feature profile
+    assert(sel0 * 10 >= n0 * 9, s"grp0 under-selected: $sel0/$n0")
+    assert(sel1 * 10 >= n1 * 9, s"grp1 (non-target alpha) under-selected: $sel1/$n1")
+    assert(sc0 > 0 && sc1 > 0)
+    // beta groups: rejected outright
+    assert(sel2 == 0 && sel3 == 0, s"beta selected: $sel2, $sel3")
+    assert(sc2 < 0 && sc3 < 0)
+    // non-degenerate: neither all-selected nor none-selected overall
+    assert(sel0 + sel1 + sel2 + sel3 > 0)
+    assert(sel0 + sel1 + sel2 + sel3 < n0 + n1 + n2 + n3)
+  }
+}

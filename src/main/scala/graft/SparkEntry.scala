@@ -69,6 +69,34 @@ object SparkEntry {
       .withColumn("fp2", expr(lane(13, "1152921504606846883")))
   }
 
+  /** q16's exact shingle-Jaccard near-dup pairs (τ=0.5), shared with
+    * q78's recall gate so the truth derivation can never desync from the
+    * standalone query. df≤64 hot-shingle guard; the windowed df over sh
+    * shares the join's shuffle — the shingle set is computed once, not
+    * once per guard branch.
+    */
+  private def exactJaccardPairs(docs: DataFrame): DataFrame = {
+    val shingles = docs.select(col("doc_id"),
+      explode(expr(
+        "transform(sequence(1, greatest(length(text) - 11, 1), 7), i -> substring(text, i, 12))"
+      )).as("sh")).distinct()
+    val sizes = shingles.groupBy(col("doc_id")).agg(count(lit(1)).as("sz"))
+    val rare = shingles
+      .withColumn("df", count(lit(1)).over(Window.partitionBy(col("sh"))))
+      .filter(col("df") <= 64).drop("df")
+    val a = rare.select(col("doc_id").as("id1"), col("sh"))
+    val b = rare.select(col("doc_id").as("id2"), col("sh"))
+    val common = a.join(b, Seq("sh")).filter(col("id1") < col("id2"))
+      .groupBy(col("id1"), col("id2")).agg(count(lit(1)).as("common"))
+    common
+      .join(sizes.withColumnRenamed("doc_id", "id1").withColumnRenamed("sz", "sz1"), Seq("id1"))
+      .join(sizes.withColumnRenamed("doc_id", "id2").withColumnRenamed("sz", "sz2"), Seq("id2"))
+      .withColumn("jaccard",
+        col("common").cast("double") / (col("sz1") + col("sz2") - col("common")))
+      .filter(col("jaccard") >= 0.5)
+      .select(col("id1"), col("id2"))
+  }
+
   /** q76's corpus pass: word-frequency vocabulary with char-spaced
     * symbol strings (" t a b l e "). The ONLY stage that touches the
     * corpus — every BPE merge round after it is vocabulary-sized.
@@ -847,31 +875,8 @@ object SparkEntry {
     // O(df^2) join rows, a quadratic blowup at web scale. Doc sizes are
     // still counted over ALL shingles, so the guard only ever lowers a
     // pair's Jaccard (conservative), and is mirrored in the oracle.
-    "q16_shingle_jaccard" -> ((s, dir) => {
-      val docs = t(s, dir, "documents")
-      val shingles = docs.select(col("doc_id"),
-        explode(expr(
-          "transform(sequence(1, greatest(length(text) - 11, 1), 7), i -> substring(text, i, 12))"
-        )).as("sh")).distinct()
-      val sizes = shingles.groupBy(col("doc_id")).agg(count(lit(1)).as("sz"))
-      // windowed df over sh shares the join's shuffle — shingle set is
-      // computed once, not once per guard branch
-      val rare = shingles
-        .withColumn("df", count(lit(1)).over(Window.partitionBy(col("sh"))))
-        .filter(col("df") <= 64).drop("df")
-      val a = rare.select(col("doc_id").as("id1"), col("sh"))
-      val b = rare.select(col("doc_id").as("id2"), col("sh"))
-      val common = a.join(b, Seq("sh")).filter(col("id1") < col("id2"))
-        .groupBy(col("id1"), col("id2")).agg(count(lit(1)).as("common"))
-      common
-        .join(sizes.withColumnRenamed("doc_id", "id1").withColumnRenamed("sz", "sz1"), Seq("id1"))
-        .join(sizes.withColumnRenamed("doc_id", "id2").withColumnRenamed("sz", "sz2"), Seq("id2"))
-        .withColumn("jaccard",
-          col("common").cast("double") / (col("sz1") + col("sz2") - col("common")))
-        .filter(col("jaccard") >= 0.5)
-        .select(col("id1"), col("id2"))
-        .orderBy(col("id1"), col("id2"))
-    }),
+    "q16_shingle_jaccard" -> ((s, dir) =>
+      exactJaccardPairs(t(s, dir, "documents")).orderBy(col("id1"), col("id2"))),
 
     // MinHash + LSH near-dup (shingle -> minhash -> band -> bucket-join).
     // H=8 md5 min-hashes as conditional min aggregates (map-side
@@ -880,6 +885,27 @@ object SparkEntry {
     // at 10^12 rows it replaces the O(n^2) shingle self-join of q16.
     "q18_minhash_lsh" -> ((s, dir) =>
       minhashBandPairs(t(s, dir, "documents")).orderBy(col("id1"), col("id2"))),
+
+    // dedup index-quality gate (q65's analog for the near-dup path): the
+    // eval a pipeline runs BEFORE trusting the LSH scale path — recall of
+    // q18's MinHash band candidates against the exact shingle-Jaccard
+    // truth (τ=0.5, q16's shared derivation), plus the candidate count
+    // (the probe cost the bands pay for that recall). With B=4×R=2 the
+    // analytic catch rate at exactly τ=0.5 is 1-(1-0.25)^4 ≈ 0.68 and
+    // rises steeply with similarity — n_hit/n_exact lands well above it
+    // on this corpus because most true pairs sit far above τ. Scale
+    // shape: both sides are the guarded derivations of their standalone
+    // queries; the report joins two pair sets on (id1, id2) and reduces
+    // to ONE row. Truth is exact-on-the-tested-corpus; at 100 TB you run
+    // the same gate on a stratified sample (q58) — the queries compose.
+    "q78_lsh_dedup_recall" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val cand = minhashBandPairs(docs)
+      exactJaccardPairs(docs)
+        .join(cand.withColumn("hit", lit(true)), Seq("id1", "id2"), "left")
+        .agg(count(lit(1)).as("n_exact"), count(col("hit")).as("n_hit"))
+        .crossJoin(cand.agg(count(lit(1)).as("n_cand")))
+    }),
 
     // near-dup CLUSTER formation: MinHash candidate pairs -> connected
     // components (iterative min-label propagation, operators/Dedup) ->
@@ -2083,6 +2109,29 @@ object SparkEntry {
       |  FROM banded a JOIN banded b
       |    ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id)""".stripMargin
 
+  /** Shared exact shingle-Jaccard CTE chain ending in `exact_pairs`
+    * (q16/q78 oracles) — mirrors [[exactJaccardPairs]]; `jx_`-prefixed
+    * names coexist with [[minhashBandedCte]]'s in one WITH clause.
+    */
+  private def exactJaccardCtes(from: String): String =
+    s"""jx_shingles AS (
+      |  SELECT DISTINCT doc_id, substr(text, CAST(u AS INT), 12) AS sh
+      |  FROM (SELECT doc_id, text,
+      |          unnest(range(1, greatest(length(text) - 11, 1) + 1, 7)) AS u
+      |        FROM $from)),
+      |jx_sizes AS (SELECT doc_id, count(*) AS sz FROM jx_shingles GROUP BY doc_id),
+      |jx_rare AS (
+      |  SELECT doc_id, sh FROM jx_shingles
+      |  WHERE sh IN (SELECT sh FROM jx_shingles GROUP BY sh HAVING count(*) <= 64)),
+      |jx_common AS (
+      |  SELECT a.doc_id AS id1, b.doc_id AS id2, count(*) AS common
+      |  FROM jx_rare a JOIN jx_rare b ON a.sh = b.sh AND a.doc_id < b.doc_id
+      |  GROUP BY a.doc_id, b.doc_id),
+      |exact_pairs AS (
+      |  SELECT id1, id2 FROM jx_common
+      |  JOIN jx_sizes s1 ON s1.doc_id = id1 JOIN jx_sizes s2 ON s2.doc_id = id2
+      |  WHERE CAST(common AS DOUBLE) / (s1.sz + s2.sz - common) >= 0.5)""".stripMargin
+
   /** Shared Gopher-repetition-gate CTE chain (q55/q62 oracles) — mirrors
     * [[withRepetitionStats]]; `src` is a CTE/table exposing (doc_id, ts)
     * with ts the token list. Emits big/bc/top/five/fc/dup; pair with
@@ -2376,6 +2425,14 @@ object SparkEntry {
     "q18_minhash_lsh" ->
       s"""WITH ${minhashPairsCte("documents")}
         |SELECT id1, id2 FROM mh_pairs ORDER BY id1, id2""".stripMargin,
+    "q78_lsh_dedup_recall" ->
+      s"""WITH ${minhashPairsCte("documents")},
+        |${exactJaccardCtes("documents")}
+        |SELECT CAST(count(*) AS BIGINT) AS n_exact,
+        |  CAST(count(m.id1) AS BIGINT) AS n_hit,
+        |  (SELECT CAST(count(*) AS BIGINT) FROM mh_pairs) AS n_cand
+        |FROM exact_pairs e LEFT JOIN mh_pairs m
+        |  ON e.id1 = m.id1 AND e.id2 = m.id2""".stripMargin,
     // components via a recursive transitive-closure CTE — a completely
     // different algorithm shape than the engine's min-label propagation
     "q50_dedup_clusters" ->
@@ -3139,22 +3196,7 @@ object SparkEntry {
         |FROM read_parquet('/tmp/graft_expected/confusions.parquet/*.parquet')
         |ORDER BY pat_left, pat_right""".stripMargin,
     "q16_shingle_jaccard" ->
-      """WITH shingles AS (
-        |  SELECT DISTINCT doc_id, substr(text, CAST(u AS INT), 12) AS sh
-        |  FROM (SELECT doc_id, text,
-        |          unnest(range(1, greatest(length(text) - 11, 1) + 1, 7)) AS u
-        |        FROM documents)),
-        |sizes AS (SELECT doc_id, count(*) AS sz FROM shingles GROUP BY doc_id),
-        |rare AS (
-        |  SELECT doc_id, sh FROM shingles
-        |  WHERE sh IN (SELECT sh FROM shingles GROUP BY sh HAVING count(*) <= 64)),
-        |common AS (
-        |  SELECT a.doc_id AS id1, b.doc_id AS id2, count(*) AS common
-        |  FROM rare a JOIN rare b ON a.sh = b.sh AND a.doc_id < b.doc_id
-        |  GROUP BY a.doc_id, b.doc_id)
-        |SELECT id1, id2 FROM common
-        |JOIN sizes s1 ON s1.doc_id = id1 JOIN sizes s2 ON s2.doc_id = id2
-        |WHERE CAST(common AS DOUBLE) / (s1.sz + s2.sz - common) >= 0.5
-        |ORDER BY id1, id2""".stripMargin
+      s"""WITH ${exactJaccardCtes("documents")}
+        |SELECT id1, id2 FROM exact_pairs ORDER BY id1, id2""".stripMargin
   )
 }

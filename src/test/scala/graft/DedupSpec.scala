@@ -8,6 +8,19 @@ class DedupSpec extends AnyFunSuite {
 
   lazy val spark = SparkTestSession.spark
 
+  test("q78 recall gate: LSH candidates cover the exact truth at a bounded probe cost") {
+    // generator facts at sf0.001: every exact Jaccard>=0.5 pair is
+    // caught by the 4x2 bands (true pairs sit far above tau), and the
+    // candidate set is a superset, not equal — the gate must expose the
+    // probe cost (spurious candidates), or precision regressions hide
+    val r = SparkEntry.queries("q78_lsh_dedup_recall")(spark, "/root/testdata/sf0.001")
+      .collect()(0)
+    val (nExact, nHit, nCand) = (r.getLong(0), r.getLong(1), r.getLong(2))
+    assert(nExact > 0, "degenerate corpus: no exact near-dup pairs")
+    assert(nHit == nExact, s"LSH recall < 1 on fixture: $nHit/$nExact")
+    assert(nCand > nHit, s"candidate set not a strict superset: $nCand vs $nHit")
+  }
+
   test("connected components: chains merge transitively, singletons survive") {
     import spark.implicits._
     // 0-1-2-3-4 chain (diameter 4 -> needs multiple propagation rounds),

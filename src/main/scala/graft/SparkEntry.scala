@@ -111,7 +111,26 @@ object SparkEntry {
       .groupBy(col("w")).agg(count(lit(1)).as("cnt"))
       .withColumn("sym",
         concat(lit(" "), regexp_replace(col("w"), "(.)", "$1 ")))
-      .select(col("cnt"), col("sym"))
+      .select(col("w"), col("cnt"), col("sym"))
+
+  /** q76/q79's shared merge loop: 3 BPE rounds over a (persisted) vocab
+    * frame — distributed argmax per round, driver re-injects the winning
+    * pair as a replace literal. Returns the merged vocab frame plus the
+    * (rank, pair, count) report rows.
+    */
+  private def bpeMergeRounds(words: DataFrame): (DataFrame, Seq[(Long, String, Long)]) = {
+    var syms = words
+    val rounds = (1 to 3).map { k =>
+      val top = bpePairCounts(syms)
+        .orderBy(col("pcnt").desc, col("pair").asc).limit(1).collect()(0)
+      val (pair, pcnt) = (top.getString(0), top.getLong(1))
+      // pair is two [a-z]+ symbols — safe to inline as a SQL literal
+      syms = syms.withColumn("sym",
+        expr(s"replace(sym, ' $pair ', ' ${pair.replace(" ", "")} ')"))
+      (k.toLong, pair, pcnt)
+    }
+    (syms, rounds)
+  }
 
   /** One BPE round's adjacent-pair frequencies over a symbol-string
     * vocabulary frame: row-local pair explode, map-side-combinable sum
@@ -1304,20 +1323,40 @@ object SparkEntry {
     // identically on both sides of the oracle.
     "q76_bpe_merges" -> ((s, dir) => {
       val words = bpeVocab(s, dir).persist()
-      var syms = words
-      val rounds = (1 to 3).map { k =>
-        val top = bpePairCounts(syms)
-          .orderBy(col("pcnt").desc, col("pair").asc).limit(1).collect()(0)
-        val (pair, pcnt) = (top.getString(0), top.getLong(1))
-        // pair is two [a-z]+ symbols — safe to inline as a SQL literal
-        syms = syms.withColumn("sym",
-          expr(s"replace(sym, ' $pair ', ' ${pair.replace(" ", "")} ')"))
-        (k.toLong, pair, pcnt)
-      }
+      val (_, rounds) = bpeMergeRounds(words)
       words.unpersist()
       import s.implicits._
       rounds.toDF("merge_rank", "pair", "cnt").coalesce(1)
         .orderBy(col("merge_rank"))
+    }),
+
+    // BPE APPLY path (the load-bearing consumer of q76's fit): per-word
+    // post-merge symbol cost computed once on the VOCABULARY, broadcast
+    // back onto the token stream, and rolled up into the per-language
+    // compression report (chars -> symbols after 3 merges) every
+    // tokenizer release gate looks at. Scale shape: the merge loop is
+    // vocabulary-sized (q76); the corpus pass is a narrow token explode
+    // + broadcast cost join + map-side-combinable agg — the corpus never
+    // shuffles. The report is |langs| rows, materialized while the vocab
+    // is cached (q51 lifecycle).
+    "q79_bpe_apply" -> ((s, dir) => {
+      val words = bpeVocab(s, dir).persist()
+      val (merged, _) = bpeMergeRounds(words)
+      val costs = merged.select(col("w"),
+        length(col("w")).cast("long").as("n_before"),
+        size(split(trim(col("sym")), " ")).cast("long").as("n_after"))
+      val report = t(s, dir, "documents")
+        .select(col("lang"), explode(split(col("text"), " ")).as("w"))
+        .filter(col("w").rlike("^[a-z]+$"))
+        .join(broadcast(costs), Seq("w"))
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_tokens"),
+          sum(col("n_before")).as("chars_before"),
+          sum(col("n_after")).as("syms_after"))
+      val rows = report.collect()
+      words.unpersist()
+      s.createDataFrame(s.sparkContext.parallelize(rows.toSeq, 1), report.schema)
+        .orderBy(col("lang"))
     }),
 
     // DSIR-style hashed-feature importance selection: score every doc by
@@ -2109,6 +2148,49 @@ object SparkEntry {
       |  FROM banded a JOIN banded b
       |    ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id)""".stripMargin
 
+  /** Shared BPE-merge CTE chain (q76/q79 oracles) — mirrors
+    * [[bpeVocab]] + [[bpeMergeRounds]]: word-frequency vocab, 3 rounds
+    * of (pair counts a_k → top pair t_k → merged vocab s_k). q76 reads
+    * t1..t3 (the merge report); q79 reads s3 (the fully-merged vocab).
+    * One definition so the two oracles can never desync from each other
+    * or from the Spark-side shared loop.
+    */
+  private def bpeMergeCtes(from: String): String = {
+    def pairAgg(src: String): String =
+      s"""  SELECT pair, CAST(sum(cnt) AS BIGINT) AS pcnt FROM (
+        |    SELECT cnt, unnest(list_transform(range(1, len(l)),
+        |                                      i -> l[i] || ' ' || l[i+1])) AS pair
+        |    FROM (SELECT cnt, string_split(trim(sym), ' ') AS l FROM $src) z) p
+        |  GROUP BY pair""".stripMargin
+    def applyMerge(src: String, top: String): String =
+      s"""  SELECT w, cnt, replace(sym, ' ' || (SELECT pair FROM $top) || ' ',
+        |           ' ' || replace((SELECT pair FROM $top), ' ', '') || ' ') AS sym
+        |  FROM $src""".stripMargin
+    s"""bpe_words AS (
+      |  SELECT w, CAST(count(*) AS BIGINT) AS cnt FROM (
+      |    SELECT unnest(string_split(text, ' ')) AS w FROM $from) tt
+      |  WHERE regexp_matches(w, '^[a-z]+$$') GROUP BY w
+      |), s0 AS (
+      |  SELECT w, cnt, ' ' || regexp_replace(w, '(.)', '\\1 ', 'g') AS sym
+      |  FROM bpe_words
+      |), a1 AS (
+      |${pairAgg("s0")}
+      |), t1 AS (SELECT pair, pcnt FROM a1 ORDER BY pcnt DESC, pair LIMIT 1),
+      |s1 AS (
+      |${applyMerge("s0", "t1")}
+      |), a2 AS (
+      |${pairAgg("s1")}
+      |), t2 AS (SELECT pair, pcnt FROM a2 ORDER BY pcnt DESC, pair LIMIT 1),
+      |s2 AS (
+      |${applyMerge("s1", "t2")}
+      |), a3 AS (
+      |${pairAgg("s2")}
+      |), t3 AS (SELECT pair, pcnt FROM a3 ORDER BY pcnt DESC, pair LIMIT 1),
+      |s3 AS (
+      |${applyMerge("s2", "t3")}
+      |)""".stripMargin
+  }
+
   /** Shared exact shingle-Jaccard CTE chain ending in `exact_pairs`
     * (q16/q78 oracles) — mirrors [[exactJaccardPairs]]; `jx_`-prefixed
     * names coexist with [[minhashBandedCte]]'s in one WITH clause.
@@ -2722,45 +2804,24 @@ object SparkEntry {
         |WHERE split <> 'train'
         |GROUP BY split, lang ORDER BY split, lang""".stripMargin,
     "q76_bpe_merges" ->
-      """WITH words AS (
-        |  SELECT w, CAST(count(*) AS BIGINT) AS cnt FROM (
-        |    SELECT unnest(string_split(text, ' ')) AS w FROM documents) tt
-        |  WHERE regexp_matches(w, '^[a-z]+$') GROUP BY w
-        |), s0 AS (
-        |  SELECT cnt, ' ' || regexp_replace(w, '(.)', '\1 ', 'g') AS sym FROM words
-        |), a1 AS (
-        |  SELECT pair, CAST(sum(cnt) AS BIGINT) AS pcnt FROM (
-        |    SELECT cnt, unnest(list_transform(range(1, len(l)),
-        |                                      i -> l[i] || ' ' || l[i+1])) AS pair
-        |    FROM (SELECT cnt, string_split(trim(sym), ' ') AS l FROM s0) z) p
-        |  GROUP BY pair
-        |), t1 AS (SELECT pair, pcnt FROM a1 ORDER BY pcnt DESC, pair LIMIT 1),
-        |s1 AS (
-        |  SELECT cnt, replace(sym, ' ' || (SELECT pair FROM t1) || ' ',
-        |                      ' ' || replace((SELECT pair FROM t1), ' ', '') || ' ') AS sym
-        |  FROM s0
-        |), a2 AS (
-        |  SELECT pair, CAST(sum(cnt) AS BIGINT) AS pcnt FROM (
-        |    SELECT cnt, unnest(list_transform(range(1, len(l)),
-        |                                      i -> l[i] || ' ' || l[i+1])) AS pair
-        |    FROM (SELECT cnt, string_split(trim(sym), ' ') AS l FROM s1) z) p
-        |  GROUP BY pair
-        |), t2 AS (SELECT pair, pcnt FROM a2 ORDER BY pcnt DESC, pair LIMIT 1),
-        |s2 AS (
-        |  SELECT cnt, replace(sym, ' ' || (SELECT pair FROM t2) || ' ',
-        |                      ' ' || replace((SELECT pair FROM t2), ' ', '') || ' ') AS sym
-        |  FROM s1
-        |), a3 AS (
-        |  SELECT pair, CAST(sum(cnt) AS BIGINT) AS pcnt FROM (
-        |    SELECT cnt, unnest(list_transform(range(1, len(l)),
-        |                                      i -> l[i] || ' ' || l[i+1])) AS pair
-        |    FROM (SELECT cnt, string_split(trim(sym), ' ') AS l FROM s2) z) p
-        |  GROUP BY pair
-        |), t3 AS (SELECT pair, pcnt FROM a3 ORDER BY pcnt DESC, pair LIMIT 1)
+      s"""WITH ${bpeMergeCtes("documents")}
         |SELECT CAST(1 AS BIGINT) AS merge_rank, pair, pcnt AS cnt FROM t1
         |UNION ALL SELECT 2, pair, pcnt FROM t2
         |UNION ALL SELECT 3, pair, pcnt FROM t3
         |ORDER BY merge_rank""".stripMargin,
+    "q79_bpe_apply" ->
+      s"""WITH ${bpeMergeCtes("documents")},
+        |costs AS (
+        |  SELECT w, CAST(length(w) AS BIGINT) AS n_before,
+        |    CAST(len(string_split(trim(sym), ' ')) AS BIGINT) AS n_after
+        |  FROM s3),
+        |toks AS (
+        |  SELECT lang, unnest(string_split(text, ' ')) AS w FROM documents)
+        |SELECT lang, CAST(count(*) AS BIGINT) AS n_tokens,
+        |  CAST(sum(n_before) AS BIGINT) AS chars_before,
+        |  CAST(sum(n_after) AS BIGINT) AS syms_after
+        |FROM toks JOIN costs USING (w)
+        |GROUP BY lang ORDER BY lang""".stripMargin,
     "q77_dsir_select" ->
       """WITH aug AS (
         |  SELECT doc_id, doc_id % 4 AS grp,

@@ -48,6 +48,18 @@ class TokenizerDsirSpec extends AnyFunSuite {
     assert(rows(0).getString(1) != rows(1).getString(1))
   }
 
+  test("q79: applying the 3 learned merges compresses every language") {
+    val rows = SparkEntry.queries("q79_bpe_apply")(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (lang, n, before, after) =
+        (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3))
+      assert(n > 0, s"$lang: empty token stream")
+      assert(after < before, s"$lang: merges did not compress ($after >= $before)")
+      assert(after >= n, s"$lang: a word collapsed below one symbol")
+    }
+  }
+
   test("q77: selection generalizes to non-target alpha and rejects beta") {
     val rows = SparkEntry.queries("q77_dsir_select")(spark, sf)
       .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3)))

@@ -678,29 +678,32 @@ object SparkEntry {
     // guard sharing the join's shuffle — no all-pairs comparison
     // anywhere. tau = 0.97 sits in the corpus's [0.968, 0.987] cosine
     // gap, so membership is float-ulp-safe on both engines.
-    "q53_cosine_neardup" -> ((s, dir) => {
-      graft.functions.CosineSim.register(s)
-      graft.functions.HashTf.register(s)
-      val emb = t(s, dir, "documents").select(col("doc_id"),
-        expr("graft_hashtf(split(text, ' '))").as("v"))
-        .withColumn("m", expr("aggregate(v, 0d, (a, x) -> a + x) / 64"))
-      def bandKey(j: Int): Column = concat((1 to 16).map(i =>
-        when(element_at(col("v"), 16 * j + i) - col("m") >= 0, "1")
-          .otherwise("0")): _*)
-      val banded0 = emb.select(col("doc_id"), col("v"),
-        posexplode(array((0 to 3).map(bandKey): _*)))
-        .toDF("doc_id", "v", "band", "key")
-      val wDf = Window.partitionBy(col("band"), col("key"))
-      val banded = banded0.withColumn("df", count(lit(1)).over(wDf))
-        .filter(col("df") <= 128).drop("df")
-      val a = banded.select(col("band"), col("key"),
-        col("doc_id").as("id1"), col("v").as("v1"))
-      val b = banded.select(col("band"), col("key"),
-        col("doc_id").as("id2"), col("v").as("v2"))
-      a.join(b, Seq("band", "key")).filter(col("id1") < col("id2"))
-        .filter(expr("graft_cosine(v1, v2)") >= 0.97)
+    "q53_cosine_neardup" -> ((s, dir) =>
+      cosineBandPairs(s, tfEmbeddings(s, dir)).orderBy(col("id1"), col("id2"))),
+
+    // embedding-path recall gate (q78's analog for the cosine near-dup
+    // scale path, completing the set: every approximate index in the
+    // engine — MinHash bands (q78), hyperplane-LSH ANN (q65), centered-
+    // sign cosine bands (here) — is scored against exact ground truth
+    // before being trusted). Truth = ALL-pairs exact cosine >= 0.97 via
+    // the q20-shape bounded BNLJ (one side broadcast, the correctness
+    // baseline a production run executes on a q58 sample); candidates =
+    // q53's shared derivation. The 0.97 threshold sits >= 1.4e-4 from
+    // every pair's cosine at every SF (verified corpus fact), so the
+    // float compare can never flip between engines.
+    "q80_cosine_recall" -> ((s, dir) => {
+      val emb = tfEmbeddings(s, dir)
+      val hits = cosineBandPairs(s, emb)
+      val probes = cosineBandJoined(emb)
         .select(col("id1"), col("id2")).distinct()
-        .orderBy(col("id1"), col("id2"))
+      val a = emb.select(col("doc_id").as("id1"), col("v").as("v1"))
+      val b = emb.select(col("doc_id").as("id2"), col("v").as("v2"))
+      val exact = a.join(broadcast(b), col("id1") < col("id2"))
+        .filter(expr("graft_cosine(v1, v2)") >= 0.97)
+        .select(col("id1"), col("id2"))
+      exact.join(hits.withColumn("hit", lit(true)), Seq("id1", "id2"), "left")
+        .agg(count(lit(1)).as("n_exact"), count(col("hit")).as("n_hit"))
+        .crossJoin(probes.agg(count(lit(1)).as("n_cand")))
     }),
 
     // the COMPOSED training-data prep chain — the engine's actual 100 TB
@@ -2148,6 +2151,92 @@ object SparkEntry {
       |  FROM banded a JOIN banded b
       |    ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id)""".stripMargin
 
+  /** q53/q80's shared hashed-tf document embeddings: one-pass codegen
+    * kernel (graft_hashtf) + the per-vector mean the centered-sign bands
+    * key on. Registers the kernels on the session (idempotent).
+    */
+  private def tfEmbeddings(s: SparkSession, dir: String): DataFrame = {
+    graft.functions.CosineSim.register(s)
+    graft.functions.HashTf.register(s)
+    t(s, dir, "documents").select(col("doc_id"),
+      expr("graft_hashtf(split(text, ' '))").as("v"))
+      .withColumn("m", expr("aggregate(v, 0d, (a, x) -> a + x) / 64"))
+  }
+
+  /** q53/q80's shared band join: centered-sign 4×16-bit band equi-join
+    * with the df≤128 hot-band guard — (id1, id2, v1, v2) candidate rows
+    * BEFORE the exact-cosine verify (q80 counts these as the probe
+    * cost).
+    */
+  private def cosineBandJoined(emb: DataFrame): DataFrame = {
+    def bandKey(j: Int): Column = concat((1 to 16).map(i =>
+      when(element_at(col("v"), 16 * j + i) - col("m") >= 0, "1")
+        .otherwise("0")): _*)
+    val banded0 = emb.select(col("doc_id"), col("v"),
+      posexplode(array((0 to 3).map(bandKey): _*)))
+      .toDF("doc_id", "v", "band", "key")
+    val wDf = Window.partitionBy(col("band"), col("key"))
+    val banded = banded0.withColumn("df", count(lit(1)).over(wDf))
+      .filter(col("df") <= 128).drop("df")
+    val a = banded.select(col("band"), col("key"),
+      col("doc_id").as("id1"), col("v").as("v1"))
+    val b = banded.select(col("band"), col("key"),
+      col("doc_id").as("id2"), col("v").as("v2"))
+    a.join(b, Seq("band", "key")).filter(col("id1") < col("id2"))
+  }
+
+  /** q53/q80's verified near-dup pairs: the band join plus the exact
+    * graft_cosine ≥ 0.97 verify — (id1, id2) embedding near-dup pairs.
+    */
+  private def cosineBandPairs(s: SparkSession, emb: DataFrame): DataFrame =
+    cosineBandJoined(emb)
+      .filter(expr("graft_cosine(v1, v2)") >= 0.97)
+      .select(col("id1"), col("id2")).distinct()
+
+  /** Exact-cosine SQL fragment over two 64-dim list columns — the
+    * DuckDB mirror of graft_cosine's index-order sum (q53/q80 oracles).
+    */
+  private def cosineSql(av: String, bv: String): String =
+    s"""list_sum(list_transform(range(1, 65), k ->
+       |    $av[CAST(k AS INT)] * $bv[CAST(k AS INT)])) /
+       |  (sqrt(list_sum(list_transform($av, x -> x * x))) *
+       |   sqrt(list_sum(list_transform($bv, x -> x * x))))""".stripMargin
+
+  /** Shared centered-sign cosine-band CTE chain ending in `cos_pairs`
+    * (q53/q80 oracles) — mirrors [[tfEmbeddings]] + [[cosineBandPairs]];
+    * also exposes `cent` (doc_id, v, m) for q80's exact all-pairs side.
+    */
+  private def cosineBandCtes(from: String): String = {
+    val bands = (0 to 3).map { j =>
+      val bits = (1 to 16).map(i =>
+        s"CASE WHEN v[${16 * j + i}] - m >= 0 THEN '1' ELSE '0' END")
+        .mkString(" || ")
+      s"SELECT doc_id, v, $j AS band, $bits AS key FROM cent"
+    }.mkString("\nUNION ALL ")
+    s"""toks AS (
+       |  SELECT doc_id, string_split(text, ' ') AS ts FROM $from),
+       |emb AS (
+       |  SELECT doc_id, list_transform(range(0, 64), b ->
+       |    CAST(len(list_filter(ts, t -> length(t) > 0 AND
+       |      ('0x' || substring(md5(t), 1, 8))::BIGINT % 64 = b)) AS DOUBLE)) AS v
+       |  FROM toks),
+       |cent AS (SELECT doc_id, v, list_sum(v) / 64 AS m FROM emb),
+       |banded0 AS (
+       |$bands),
+       |banded AS (
+       |  SELECT * FROM banded0 WHERE (band, key) IN (
+       |    SELECT (band, key) FROM banded0
+       |    GROUP BY band, key HAVING count(*) <= 128)),
+       |cand_pre AS (
+       |  SELECT DISTINCT a.doc_id AS id1, b.doc_id AS id2,
+       |    a.v AS v1, b.v AS v2
+       |  FROM banded a JOIN banded b
+       |    ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id),
+       |cos_pairs AS (
+       |  SELECT id1, id2 FROM cand_pre
+       |  WHERE ${cosineSql("v1", "v2")} >= 0.97)""".stripMargin
+  }
+
   /** Shared BPE-merge CTE chain (q76/q79 oracles) — mirrors
     * [[bpeVocab]] + [[bpeMergeRounds]]: word-frequency vocab, 3 rounds
     * of (pair counts a_k → top pair t_k → merged vocab s_k). q76 reads
@@ -2390,36 +2479,20 @@ object SparkEntry {
     // oracle recomputes the md5-bucketed tf embedding, the centered-sign
     // bands + df guard and the exact cosine verify independently — the
     // bucket hash is the shared md5 spelling (HashTf Scaladoc)
-    "q53_cosine_neardup" -> {
-      val bands = (0 to 3).map { j =>
-        val bits = (1 to 16).map(i =>
-          s"CASE WHEN v[${16 * j + i}] - m >= 0 THEN '1' ELSE '0' END")
-          .mkString(" || ")
-        s"SELECT doc_id, v, $j AS band, $bits AS key FROM cent"
-      }.mkString("\nUNION ALL ")
-      s"""WITH toks AS (
-         |  SELECT doc_id, string_split(text, ' ') AS ts FROM documents),
-         |emb AS (
-         |  SELECT doc_id, list_transform(range(0, 64), b ->
-         |    CAST(len(list_filter(ts, t -> length(t) > 0 AND
-         |      ('0x' || substring(md5(t), 1, 8))::BIGINT % 64 = b)) AS DOUBLE)) AS v
-         |  FROM toks),
-         |cent AS (SELECT doc_id, v, list_sum(v) / 64 AS m FROM emb),
-         |banded0 AS (
-         |$bands),
-         |banded AS (
-         |  SELECT * FROM banded0 WHERE (band, key) IN (
-         |    SELECT (band, key) FROM banded0
-         |    GROUP BY band, key HAVING count(*) <= 128))
-         |SELECT DISTINCT a.doc_id AS id1, b.doc_id AS id2
-         |FROM banded a JOIN banded b
-         |  ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id
-         |WHERE list_sum(list_transform(range(1, 65), k ->
-         |    a.v[CAST(k AS INT)] * b.v[CAST(k AS INT)])) /
-         |  (sqrt(list_sum(list_transform(a.v, x -> x * x))) *
-         |   sqrt(list_sum(list_transform(b.v, x -> x * x)))) >= 0.97
-         |ORDER BY id1, id2""".stripMargin
-    },
+    "q53_cosine_neardup" ->
+      s"""WITH ${cosineBandCtes("documents")}
+         |SELECT id1, id2 FROM cos_pairs ORDER BY id1, id2""".stripMargin,
+    "q80_cosine_recall" ->
+      s"""WITH ${cosineBandCtes("documents")},
+         |exact_cos AS (
+         |  SELECT a.doc_id AS id1, b.doc_id AS id2
+         |  FROM cent a JOIN cent b ON a.doc_id < b.doc_id
+         |  WHERE ${cosineSql("a.v", "b.v")} >= 0.97)
+         |SELECT CAST(count(*) AS BIGINT) AS n_exact,
+         |  CAST(count(m.id1) AS BIGINT) AS n_hit,
+         |  (SELECT CAST(count(*) AS BIGINT) FROM cand_pre) AS n_cand
+         |FROM exact_cos e LEFT JOIN cos_pairs m
+         |  ON e.id1 = m.id1 AND e.id2 = m.id2""".stripMargin,
     // expected side re-runs the importer's imperative char loop
     // (div/importer.py:150-203) driver-side — see fixtures/Expected.scala
     "q48_pred_import" ->

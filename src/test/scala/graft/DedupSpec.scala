@@ -21,6 +21,19 @@ class DedupSpec extends AnyFunSuite {
     assert(nCand > nHit, s"candidate set not a strict superset: $nCand vs $nHit")
   }
 
+  test("q80 cosine recall gate: bands catch every exact pair; probe cost is visible") {
+    val r = SparkEntry.queries("q80_cosine_recall")(spark, "/root/testdata/sf0.001")
+      .collect()(0)
+    val (nExact, nHit, nCand) = (r.getLong(0), r.getLong(1), r.getLong(2))
+    assert(nExact > 0, "degenerate corpus: no exact cosine near-dup pairs")
+    assert(nHit == nExact, s"band recall < 1 on fixture: $nHit/$nExact")
+    // n_cand counts PRE-verify band-join rows — it must dwarf the hit
+    // count (that gap IS the verify stage's workload, the number a
+    // capacity plan needs); equality would mean the probe-cost column
+    // silently regressed to counting verified pairs
+    assert(nCand > nHit * 10, s"probe cost implausibly small: $nCand vs $nHit")
+  }
+
   test("connected components: chains merge transitively, singletons survive") {
     import spark.implicits._
     // 0-1-2-3-4 chain (diameter 4 -> needs multiple propagation rounds),

@@ -971,39 +971,38 @@ object SparkEntry {
     // implies at least one of 4 bands is untouched; tau=2 here), then verify true
     // Hamming distance via bit_count(xor). Same banded-join scale shape
     // as q18 — no all-pairs comparison ever materializes.
-    "q44_simhash_pairs" -> ((s, dir) => {
-      def md5s(c: Column): Column = md5(to_binary(c, lit("utf-8")))
-      val hashed = t(s, dir, "documents")
-        .select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
-        .filter(length(col("tok")) > 0)
-        .select(col("doc_id"), md5s(col("tok")).as("h"))
-      def bit(k: Int): Column =
-        when(sum(when(substring(col("h"), k, 1) >= "8", 1).otherwise(-1)) >= 0,
-          "1").otherwise("0")
-      val sig = hashed.groupBy(col("doc_id"))
-        .agg(concat((1 to 32).map(bit): _*).as("sh"))
-      val banded0 = sig.select(col("doc_id"), col("sh"),
-        posexplode(array((0 to 3).map(j => substring(col("sh"), 8 * j + 1, 8)): _*)))
-        .toDF("doc_id", "sh", "band", "key")
-      // hot-band guard (mirrored in the oracle): a band key shared by most
-      // of the corpus is uninformative and would emit O(df^2) join rows —
-      // the same skew guard as q16's hot shingles. Pairs it drops can
-      // still collide in a rarer band. Windowed count over (band, key)
-      // reuses the one shuffle the join needs anyway, so the signature
-      // aggregation is computed ONCE (a join against a groupBy would
-      // recompute the whole signature stage on the second branch).
-      val wDf = Window.partitionBy(col("band"), col("key"))
-      val banded = banded0.withColumn("df", count(lit(1)).over(wDf))
-        .filter(col("df") <= 128).drop("df")
-      val a = banded.select(col("band"), col("key"), col("doc_id").as("id1"), col("sh").as("sh1"))
-      val b = banded.select(col("band"), col("key"), col("doc_id").as("id2"), col("sh").as("sh2"))
-      val ham = bit_count(conv(col("sh1"), 2, 10).cast("long")
-        .bitwiseXOR(conv(col("sh2"), 2, 10).cast("long")))
-      a.join(b, Seq("band", "key")).filter(col("id1") < col("id2"))
-        .withColumn("hamming", ham)
+    "q44_simhash_pairs" -> ((s, dir) =>
+      simhashBandJoined(simhashSigs(s, dir))
+        .withColumn("hamming", simhashHamming)
         .filter(col("hamming") <= 2)
         .select(col("id1"), col("id2"), col("hamming")).distinct()
-        .orderBy(col("id1"), col("id2"))
+        .orderBy(col("id1"), col("id2"))),
+
+    // SimHash recall gate (the q78/q80 analog for the 4×8-bit banded
+    // Hamming index — the last approximate index in the engine without
+    // one). Pigeonhole makes the UNGUARDED bands lossless at this radius
+    // (hamming ≤ 2 touches ≤ 2 of 4 bands, so ≥ 2 bands survive intact
+    // and the pair must collide) — the ONLY recall leak is the df≤128
+    // hot-band guard, so n_exact - n_hit prices exactly what the skew
+    // guard trades away, and n_cand (pre-verify band-join rows) what the
+    // bands cost. Truth = all-pairs exact bit_count(xor) ≤ 2 over the
+    // 32-bit signatures (broadcast BNLJ — signatures are tiny; the
+    // all-pairs side runs on a q58 sample at 100 TB).
+    "q81_simhash_recall" -> ((s, dir) => {
+      val sig = simhashSigs(s, dir)
+      val joined = simhashBandJoined(sig)
+      val hits = joined.withColumn("hamming", simhashHamming)
+        .filter(col("hamming") <= 2)
+        .select(col("id1"), col("id2")).distinct()
+      val probes = joined.select(col("id1"), col("id2")).distinct()
+      val a = sig.select(col("doc_id").as("id1"), col("sh").as("sh1"))
+      val b = sig.select(col("doc_id").as("id2"), col("sh").as("sh2"))
+      val exact = a.join(broadcast(b), col("id1") < col("id2"))
+        .filter(simhashHamming <= 2)
+        .select(col("id1"), col("id2"))
+      exact.join(hits.withColumn("hit", lit(true)), Seq("id1", "id2"), "left")
+        .agg(count(lit(1)).as("n_exact"), count(col("hit")).as("n_hit"))
+        .crossJoin(probes.agg(count(lit(1)).as("n_cand")))
     }),
 
     // brute-force cosine top-k ANN over the embeddings table: the exact
@@ -2193,6 +2192,73 @@ object SparkEntry {
       .filter(expr("graft_cosine(v1, v2)") >= 0.97)
       .select(col("id1"), col("id2")).distinct()
 
+  /** q44/q81's shared 32-bit SimHash signatures: per-token md5 nibble
+    * votes folded into one sign bit per position (map-side combinable
+    * agg), one row (doc_id, sh) per document.
+    */
+  private def simhashSigs(s: SparkSession, dir: String): DataFrame = {
+    val hashed = t(s, dir, "documents")
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
+      .filter(length(col("tok")) > 0)
+      .select(col("doc_id"), md5(to_binary(col("tok"), lit("utf-8"))).as("h"))
+    def bit(k: Int): Column =
+      when(sum(when(substring(col("h"), k, 1) >= "8", 1).otherwise(-1)) >= 0,
+        "1").otherwise("0")
+    hashed.groupBy(col("doc_id"))
+      .agg(concat((1 to 32).map(bit): _*).as("sh"))
+  }
+
+  /** q44/q81's shared banded Hamming join: 4×8-bit bands with the df≤128
+    * hot-band guard — (id1, id2, sh1, sh2) candidate rows BEFORE the
+    * exact Hamming verify. The windowed count over (band, key) reuses
+    * the one shuffle the join needs anyway, so the signature aggregation
+    * is computed ONCE (a join against a groupBy would recompute the
+    * whole signature stage on the second branch). Pairs dropped in a hot
+    * band can still collide in a rarer band.
+    */
+  private def simhashBandJoined(sig: DataFrame): DataFrame = {
+    val banded0 = sig.select(col("doc_id"), col("sh"),
+      posexplode(array((0 to 3).map(j => substring(col("sh"), 8 * j + 1, 8)): _*)))
+      .toDF("doc_id", "sh", "band", "key")
+    val wDf = Window.partitionBy(col("band"), col("key"))
+    val banded = banded0.withColumn("df", count(lit(1)).over(wDf))
+      .filter(col("df") <= 128).drop("df")
+    val a = banded.select(col("band"), col("key"), col("doc_id").as("id1"), col("sh").as("sh1"))
+    val b = banded.select(col("band"), col("key"), col("doc_id").as("id2"), col("sh").as("sh2"))
+    a.join(b, Seq("band", "key")).filter(col("id1") < col("id2"))
+  }
+
+  /** Exact Hamming distance between the binary-string columns sh1/sh2. */
+  private def simhashHamming: Column =
+    bit_count(conv(col("sh1"), 2, 10).cast("long")
+      .bitwiseXOR(conv(col("sh2"), 2, 10).cast("long")))
+
+  /** Shared SimHash CTE chain (q44/q81 oracles) — mirrors
+    * [[simhashSigs]] + [[simhashBandJoined]]: exposes `sig` (doc_id, sh)
+    * for q81's exact all-pairs side and `sh_cand` (DISTINCT id1, id2,
+    * sh1, sh2 — the pre-verify band-join candidates).
+    */
+  private def simhashCtes(from: String): String = {
+    val bits = (1 to 32).map(k =>
+      s"CASE WHEN sum(CASE WHEN substr(h,$k,1) >= '8' THEN 1 ELSE -1 END) >= 0 THEN '1' ELSE '0' END"
+    ).mkString(" || ")
+    val bands = (0 to 3).map(j =>
+      s"SELECT doc_id, sh, $j AS band, substring(sh, ${8 * j + 1}, 8) AS key FROM sig")
+      .mkString("\nUNION ALL ")
+    s"""toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM $from),
+       |hashed AS (SELECT doc_id, md5(tok) AS h FROM toks WHERE length(tok) > 0),
+       |sig AS (SELECT doc_id, $bits AS sh FROM hashed GROUP BY doc_id),
+       |banded0 AS (
+       |$bands),
+       |banded AS (
+       |  SELECT * FROM banded0 WHERE (band, key) IN (
+       |    SELECT (band, key) FROM banded0 GROUP BY band, key HAVING count(*) <= 128)),
+       |sh_cand AS (
+       |  SELECT DISTINCT a.doc_id AS id1, c.doc_id AS id2, a.sh AS sh1, c.sh AS sh2
+       |  FROM banded a JOIN banded c
+       |    ON a.band = c.band AND a.key = c.key AND a.doc_id < c.doc_id)""".stripMargin
+  }
+
   /** Exact-cosine SQL fragment over two 64-dim list columns — the
     * DuckDB mirror of graft_cosine's index-order sum (q53/q80 oracles).
     */
@@ -2647,27 +2713,27 @@ object SparkEntry {
          |hashed AS (SELECT doc_id, md5(tok) AS h FROM toks WHERE length(tok) > 0)
          |SELECT doc_id, $bits AS simhash FROM hashed GROUP BY doc_id ORDER BY doc_id""".stripMargin
     },
-    "q44_simhash_pairs" -> {
-      val bits = (1 to 32).map(k =>
-        s"CASE WHEN sum(CASE WHEN substr(h,$k,1) >= '8' THEN 1 ELSE -1 END) >= 0 THEN '1' ELSE '0' END"
-      ).mkString(" || ")
-      val bands = (0 to 3).map(j =>
-        s"SELECT doc_id, sh, $j AS band, substring(sh, ${8 * j + 1}, 8) AS key FROM sig")
-        .mkString("\nUNION ALL ")
-      s"""WITH toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents),
-         |hashed AS (SELECT doc_id, md5(tok) AS h FROM toks WHERE length(tok) > 0),
-         |sig AS (SELECT doc_id, $bits AS sh FROM hashed GROUP BY doc_id),
-         |banded0 AS (
-         |$bands),
-         |banded AS (
-         |  SELECT * FROM banded0 WHERE (band, key) IN (
-         |    SELECT (band, key) FROM banded0 GROUP BY band, key HAVING count(*) <= 128))
-         |SELECT DISTINCT a.doc_id AS id1, c.doc_id AS id2,
-         |  CAST(bit_count(xor(a.sh::BIT, c.sh::BIT)) AS INT) AS hamming
-         |FROM banded a JOIN banded c ON a.band = c.band AND a.key = c.key AND a.doc_id < c.doc_id
-         |WHERE bit_count(xor(a.sh::BIT, c.sh::BIT)) <= 2
-         |ORDER BY id1, id2""".stripMargin
-    },
+    "q44_simhash_pairs" ->
+      s"""WITH ${simhashCtes("documents")}
+         |SELECT id1, id2,
+         |  CAST(bit_count(xor(sh1::BIT, sh2::BIT)) AS INT) AS hamming
+         |FROM sh_cand
+         |WHERE bit_count(xor(sh1::BIT, sh2::BIT)) <= 2
+         |ORDER BY id1, id2""".stripMargin,
+    "q81_simhash_recall" ->
+      s"""WITH ${simhashCtes("documents")},
+         |sh_hits AS (
+         |  SELECT id1, id2 FROM sh_cand
+         |  WHERE bit_count(xor(sh1::BIT, sh2::BIT)) <= 2),
+         |exact_sh AS (
+         |  SELECT a.doc_id AS id1, c.doc_id AS id2
+         |  FROM sig a JOIN sig c ON a.doc_id < c.doc_id
+         |  WHERE bit_count(xor(a.sh::BIT, c.sh::BIT)) <= 2)
+         |SELECT CAST(count(*) AS BIGINT) AS n_exact,
+         |  CAST(count(m.id1) AS BIGINT) AS n_hit,
+         |  (SELECT CAST(count(*) AS BIGINT) FROM sh_cand) AS n_cand
+         |FROM exact_sh e LEFT JOIN sh_hits m
+         |  ON e.id1 = m.id1 AND e.id2 = m.id2""".stripMargin,
     "q20_ann_topk" ->
       """WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
         |q AS (SELECT vec_id AS qid, v AS qv FROM e WHERE vec_id < 5),

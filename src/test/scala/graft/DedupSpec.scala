@@ -34,6 +34,19 @@ class DedupSpec extends AnyFunSuite {
     assert(nCand > nHit * 10, s"probe cost implausibly small: $nCand vs $nHit")
   }
 
+  test("q81 simhash recall gate: bands honor the pigeonhole bound on fixture") {
+    // hamming <= 2 over 4x8-bit bands provably shares a band when
+    // UNguarded; the df<=128 guard is the only possible leak and costs
+    // nothing on this corpus — a recall drop here means the banding or
+    // the guard changed behavior
+    val r = SparkEntry.queries("q81_simhash_recall")(spark, "/root/testdata/sf0.001")
+      .collect()(0)
+    val (nExact, nHit, nCand) = (r.getLong(0), r.getLong(1), r.getLong(2))
+    assert(nExact > 0, "degenerate corpus: no exact hamming<=2 pairs")
+    assert(nHit == nExact, s"simhash recall < 1 on fixture: $nHit/$nExact")
+    assert(nCand > nHit, s"probe cost not visible: $nCand vs $nHit")
+  }
+
   test("connected components: chains merge transitively, singletons survive") {
     import spark.implicits._
     // 0-1-2-3-4 chain (diameter 4 -> needs multiple propagation rounds),

@@ -333,6 +333,20 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(p.contains("partial_"), s"bucket stats lost map-side combine:\n$p")
   }
 
+  test("recall gates: exact all-pairs sides stay broadcast BNLJs, never cartesian") {
+    // q80/q81's truth stage is a deliberate bounded all-pairs compare
+    // (q20's shape): the explicit broadcast hint must hold so a config
+    // flip can't degrade it to a partitioned CartesianProduct of the
+    // corpus against itself
+    Seq("q80_cosine_recall", "q81_simhash_recall").foreach { name =>
+      val p = plan(SparkEntry.queries(name)(spark, sf))
+      assert(p.contains("BroadcastNestedLoopJoin"),
+        s"[$name] exact side lost its broadcast BNLJ:\n$p")
+      assert(!p.contains("CartesianProduct"),
+        s"[$name] degenerated to CartesianProduct:\n$p")
+    }
+  }
+
   test("gate funnel is one corpus pass: broadcast decontam, no product joins on the corpus") {
     val p = plan(SparkEntry.queries("q73_gate_funnel")(spark, sf))
     // the benchmark shingle set must broadcast; the only BNLJ allowed is

@@ -32,6 +32,10 @@ import graft.pipeline.{GraftConfig, Pipeline}
   *   --profile-no-cache=true|false   re-learn the profile every run
   *   --dynamic-lexicon=true|false    corpus-global OOV protection
   *                                   (dynamiclex role) in correction
+  *   --dedup=true|false              append the exact-dedup stage:
+  *                                   fingerprint-keyed, flags corpus-wide
+  *                                   duplicates with keep/dup_of lineage
+  *                                   (rows never dropped)
   *
   * Defaults are the shipped constants, so a flagless invocation is
   * byte-identical to the unparameterized library call.
@@ -57,6 +61,7 @@ object Run {
           case "--profile-max-patterns" => cfg.copy(profileMaxPatterns = v.toInt)
           case "--profile-no-cache" => cfg.copy(profileNoCache = v.toBoolean)
           case "--dynamic-lexicon" => cfg.copy(dynamicLexicon = v.toBoolean)
+          case "--dedup" => cfg.copy(dedup = v.toBoolean)
           case other => sys.error(s"unknown flag '$other' (see Run scaladoc)")
         }
         case _ => sys.error(s"malformed flag '$flag' — expected --key=value")
@@ -79,12 +84,17 @@ object Run {
     val (out, stageResults) =
       Pipeline.runCheckpointedStaged(spark, outRoot, pages, buckets, cfg)
     val nPages = out.count()
+    // dedup lineage rollup when the stage ran: kept = unique survivors
+    val kept =
+      if (cfg.dedup)
+        s""","dedup_kept":${out.filter(org.apache.spark.sql.functions.col("keep")).count()}"""
+      else ""
     val wallSec = (System.nanoTime() - t0) / 1e9
     val stages = stageResults.map { case (st, r) =>
       s""""$st":{"buckets":${r.ledger.size},"rows":${r.ledger.map(_.rows).sum},""" +
         s""""processed":${r.processedBuckets.size},"skipped":${r.skippedBuckets.size}}"""
     }.mkString(",")
-    f"""{"metric":"run_docs_per_sec","value":${nPages / math.max(wallSec, 1e-9)}%.1f,"unit":"docs/sec","pages":$nPages,"wall_sec":$wallSec%.2f,"buckets":$buckets,"stages":{$stages},"out":"$outRoot"}"""
+    f"""{"metric":"run_docs_per_sec","value":${nPages / math.max(wallSec, 1e-9)}%.1f,"unit":"docs/sec","pages":$nPages$kept,"wall_sec":$wallSec%.2f,"buckets":$buckets,"stages":{$stages},"out":"$outRoot"}"""
   }
 
   def main(args: Array[String]): Unit = {

@@ -50,24 +50,11 @@ object SparkEntry {
     * PlanAuditSpec). Pairs dropped in a hot band can still collide in one
     * of the other 3 bands.
     */
-  /** Two-lane commutative multiset fingerprint columns (fp1, fp2) over
-    * `text` — the exact-dedup key shared by q15 and q51. Lane i sums
-    * 48-bit md5 slices (chars 1-12 / 13-24) mod a distinct ~2^61/2^60
-    * prime, reducing mod p at every addition step (a < p, x < 2^48, so
-    * a + x never overflows int64). Modular addition is commutative and
-    * map-side combinable; the pair key lives in a ~2^121 space, so at
-    * 10^12 docs the birthday collision mass is ~10^24 * 2^-121 ~= 4e-13.
+  /** Two-lane exact-dedup fingerprint (q15/q51) — ONE definition shared
+    * with the production Run dedup stage: [[graft.operators.Dedup.fingerprintLanes]].
     */
-  private def withFingerprintLanes(docs: DataFrame): DataFrame = {
-    def lane(from: Int, p: String) =
-      s"""aggregate(
-         |  transform(split(text, ' '),
-         |    t -> cast(conv(substring(md5(to_binary(t, 'utf-8')), $from, 12), 16, 10) as bigint)),
-         |  cast(0 as bigint), (a, x) -> pmod(a + x, ${p}L))""".stripMargin
-    docs
-      .withColumn("fp1", expr(lane(1, "2305843009213693951")))
-      .withColumn("fp2", expr(lane(13, "1152921504606846883")))
-  }
+  private def withFingerprintLanes(docs: DataFrame): DataFrame =
+    graft.operators.Dedup.fingerprintLanes(docs)
 
   /** q16's exact shingle-Jaccard near-dup pairs (τ=0.5), shared with
     * q78's recall gate so the truth derivation can never desync from the

@@ -39,7 +39,14 @@ final case class GraftConfig(
       * everywhere. Off by default — the per-occurrence LE gate is the
       * reference's default behavior.
       */
-    dynamicLexicon: Boolean = false
+    dynamicLexicon: Boolean = false,
+    /** Append the exact-dedup stage to the checkpointed pipeline: a
+      * fingerprint-keyed fourth stage that flags corpus-wide exact
+      * duplicates with keeper lineage (keep/dup_of columns) — rows are
+      * never dropped, so downstream consumers choose their own policy.
+      * Off by default (the reference pipeline ends at correction).
+      */
+    dedup: Boolean = false
 ) {
   require(extractors.nonEmpty, "at least one extractor (the master) is required")
   require(maxCandidates >= 1, "maxCandidates must be >= 1")
@@ -61,7 +68,7 @@ final case class GraftConfig(
     s"profileMaxPatterns=$profileMaxPatterns",
     s"profileNoCache=$profileNoCache",
     s"dynLexMinCount=$dynLexMinCount", s"dynLexTopN=$dynLexTopN",
-    s"dynamicLexicon=$dynamicLexicon"
+    s"dynamicLexicon=$dynamicLexicon", s"dedup=$dedup"
   ).mkString(";")
 }
 

@@ -718,7 +718,34 @@ object Pipeline {
           .toDF()
       }
     }
-    (corrected.output.drop("p_bucket"),
-      Seq("segment" -> seg, "align" -> aligned, "correct" -> corrected))
+    val base = Seq("segment" -> seg, "align" -> aligned, "correct" -> corrected)
+    if (!cfg.dedup)
+      (corrected.output.drop("p_bucket"), base)
+    else {
+      // exact-dedup stage, keyed on the FINGERPRINT (not url): every
+      // duplicate group hashes wholly into one bucket, so the keeper
+      // decision is bucket-local and a resumed run reproduces a clean
+      // run's bytes even when only some buckets are pending — the same
+      // invariant url-keyed stages get for free, preserved here for the
+      // one stage whose semantics are corpus-global. Rows are FLAGGED
+      // (keep/dup_of lineage), never dropped: a checkpointed stage that
+      // filtered would conflate "row deduped away" with "row never
+      // processed" on resume.
+      import org.apache.spark.sql.functions._
+      import org.apache.spark.sql.expressions.Window
+      val withFp = graft.operators.Dedup
+        .fingerprintLanes(corrected.output.drop("p_bucket"))
+        .withColumn("fp_key", concat_ws(":", col("fp1"), col("fp2")))
+      val dedup = Checkpoint.runStage(spark, "dedup", root, withFp,
+        "fp_key", buckets) { df =>
+        val w = Window.partitionBy(col("fp_key")).orderBy(col("url"))
+        df.withColumn("keeper", first(col("url")).over(w))
+          .withColumn("keep", col("url") === col("keeper"))
+          .withColumn("dup_of",
+            when(col("keep"), lit(null).cast("string")).otherwise(col("keeper")))
+          .drop("keeper")
+      }
+      (dedup.output.drop("p_bucket"), base :+ ("dedup" -> dedup))
+    }
   }
 }

@@ -139,4 +139,67 @@ class RunSpec extends AnyFunSuite {
     assert(e.getMessage.contains("config"), e.getMessage)
     assert(snap(rootOne) == oneSnap, "refused resume still touched output")
   }
+
+  test("dedup stage: duplicate lineage is corpus-wide and partial resume is byte-identical") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.{col, concat, lit}
+    // plant exact duplicates: 20 clean-range pages + re-urled copies of
+    // the first 10 (same html -> same corrected text, different url)
+    val base = pipeline.Pipeline.generate(spark, 20).toDF()
+    val dups = pipeline.Pipeline.generate(spark, 10).toDF()
+      .withColumn("url", concat(lit("dup-"), col("url")))
+    val pagesPath = tmp("pages-dup") + "/pages.parquet"
+    base.unionByName(dups).write.mode("overwrite").parquet(pagesPath)
+
+    val cfg = Run.parseConfig(Seq("--dedup=true"))
+    val root = tmp("dedup-run")
+    val json = Run.execute(spark, pagesPath, root, buckets = 4, cfg)
+    // 30 rows survive (never dropped); 20 unique texts -> 20 keepers
+    assert(json.contains("\"pages\":30"), json)
+    assert(json.contains("\"dedup_kept\":20"), json)
+    assert(json.contains("\"dedup\":{"), json)
+
+    def snap(r: String) =
+      spark.read.parquet(s"$r/dedup/data")
+        .select("url", "text", "keep", "dup_of")
+        .as[(String, String, Boolean, Option[String])]
+        .collect().sortBy(_._1).toSeq
+    val clean = snap(root)
+    // lineage: each duplicated text has exactly one keeper (min url);
+    // every non-keeper points at a keeper carrying the SAME text
+    val byText = clean.groupBy(_._2)
+    assert(byText.size == 20)
+    byText.foreach { case (_, rows) =>
+      val keepers = rows.filter(_._3)
+      assert(keepers.length == 1, s"not exactly one keeper: $rows")
+      assert(keepers.head._1 == rows.map(_._1).min, "keeper is not min url")
+      rows.filterNot(_._3).foreach { r =>
+        assert(r._4.contains(keepers.head._1), s"dup_of broken: $r")
+      }
+    }
+    // the planted dups were actually flagged (10 non-keepers)
+    assert(clean.count(!_._3) == 10)
+
+    // PARTIAL resume: lose one dedup bucket's commit; the rerun must
+    // recompute ONLY that bucket and reproduce the clean bytes — this is
+    // the fp-keyed-bucket invariant (every duplicate group lives wholly
+    // in one bucket, so a bucket recomputed in isolation can never pick
+    // a different keeper)
+    val lost = plans.Checkpoint.readLedger(spark, root, "dedup").head.bucket
+    java.nio.file.Files.delete(
+      java.nio.file.Paths.get(f"$root/dedup/_ledger/bucket-$lost%05d.json"))
+    val resumeJson = Run.execute(spark, pagesPath, root, buckets = 4, cfg)
+    assert(resumeJson.contains("\"dedup\":{\"buckets\":4,") &&
+      resumeJson.contains("\"dedup_kept\":20"), resumeJson)
+    assert(snap(root) == clean, "partial dedup resume changed bytes")
+    // earlier stages were untouched (fully skipped)
+    assert(resumeJson.contains("\"segment\":{\"buckets\":4,\"rows\":30,\"processed\":0,\"skipped\":4}"),
+      resumeJson)
+
+    // flag off stays the shipped three-stage pipeline (no dedup table)
+    val rootOff = tmp("off")
+    val offJson = Run.execute(spark, pagesPath, rootOff, buckets = 4)
+    assert(!offJson.contains("\"dedup\":") && !offJson.contains("dedup_kept"), offJson)
+    assert(!java.nio.file.Files.exists(java.nio.file.Paths.get(s"$rootOff/dedup")))
+  }
 }

@@ -84,12 +84,15 @@ object Run {
     val (out, stageResults) =
       Pipeline.runCheckpointedStaged(spark, outRoot, pages, buckets, cfg)
     val nPages = out.count()
+    // snap the wall BEFORE the lineage rollup: dedup_kept is reporting,
+    // not pipeline work — counting it inside the timed region would make
+    // --dedup headline numbers non-comparable with flagless runs
+    val wallSec = (System.nanoTime() - t0) / 1e9
     // dedup lineage rollup when the stage ran: kept = unique survivors
     val kept =
       if (cfg.dedup)
         s""","dedup_kept":${out.filter(org.apache.spark.sql.functions.col("keep")).count()}"""
       else ""
-    val wallSec = (System.nanoTime() - t0) / 1e9
     val stages = stageResults.map { case (st, r) =>
       s""""$st":{"buckets":${r.ledger.size},"rows":${r.ledger.map(_.rows).sum},""" +
         s""""processed":${r.processedBuckets.size},"skipped":${r.skippedBuckets.size}}"""

@@ -108,8 +108,12 @@ object SparkEntry {
   private def bpeMergeRounds(words: DataFrame): (DataFrame, Seq[(Long, String, Long)]) = {
     var syms = words
     val rounds = (1 to 3).map { k =>
-      val top = bpePairCounts(syms)
-        .orderBy(col("pcnt").desc, col("pair").asc).limit(1).collect()(0)
+      val tops = bpePairCounts(syms)
+        .orderBy(col("pcnt").desc, col("pair").asc).limit(1).collect()
+      require(tops.nonEmpty,
+        s"BPE round $k: no adjacent symbol pairs left to merge — the " +
+          "corpus has no [a-z]+ words of length >= 2")
+      val top = tops(0)
       val (pair, pcnt) = (top.getString(0), top.getLong(1))
       // pair is two [a-z]+ symbols — safe to inline as a SQL literal
       syms = syms.withColumn("sym",
@@ -666,7 +670,7 @@ object SparkEntry {
     // anywhere. tau = 0.97 sits in the corpus's [0.968, 0.987] cosine
     // gap, so membership is float-ulp-safe on both engines.
     "q53_cosine_neardup" -> ((s, dir) =>
-      cosineBandPairs(s, tfEmbeddings(s, dir)).orderBy(col("id1"), col("id2"))),
+      cosineBandPairs(tfEmbeddings(s, dir)).orderBy(col("id1"), col("id2"))),
 
     // embedding-path recall gate (q78's analog for the cosine near-dup
     // scale path, completing the set: every approximate index in the
@@ -680,7 +684,7 @@ object SparkEntry {
     // float compare can never flip between engines.
     "q80_cosine_recall" -> ((s, dir) => {
       val emb = tfEmbeddings(s, dir)
-      val hits = cosineBandPairs(s, emb)
+      val hits = cosineBandPairs(emb)
       val probes = cosineBandJoined(emb)
         .select(col("id1"), col("id2")).distinct()
       val a = emb.select(col("doc_id").as("id1"), col("v").as("v1"))
@@ -2174,7 +2178,7 @@ object SparkEntry {
   /** q53/q80's verified near-dup pairs: the band join plus the exact
     * graft_cosine ≥ 0.97 verify — (id1, id2) embedding near-dup pairs.
     */
-  private def cosineBandPairs(s: SparkSession, emb: DataFrame): DataFrame =
+  private def cosineBandPairs(emb: DataFrame): DataFrame =
     cosineBandJoined(emb)
       .filter(expr("graft_cosine(v1, v2)") >= 0.97)
       .select(col("id1"), col("id2")).distinct()

@@ -59,6 +59,14 @@ final case class GraftConfig(
     * by NAME — a same-named extractor with a different transform function
     * is indistinguishable here, which is the registry contract
     * ([[graft.Run.parseConfig]] resolves names against one registry).
+    *
+    * Versioning is intentionally strict: ADDING a knob changes every
+    * canonical string, so a checkpoint root created by an older build
+    * refuses to resume under a newer one. That is the safe default — a
+    * new knob may change pending buckets' output even at its default
+    * value (a binary upgrade is exactly when silent cross-version
+    * mixing would go unnoticed). The cost is one full recompute per
+    * upgrade of an in-flight root.
     */
   def canonical: String = Seq(
     s"extractors=${extractors.map(_.name).mkString(",")}",

@@ -727,25 +727,31 @@ object Pipeline {
       // decision is bucket-local and a resumed run reproduces a clean
       // run's bytes even when only some buckets are pending — the same
       // invariant url-keyed stages get for free, preserved here for the
-      // one stage whose semantics are corpus-global. Rows are FLAGGED
-      // (keep/dup_of lineage), never dropped: a checkpointed stage that
-      // filtered would conflate "row deduped away" with "row never
-      // processed" on resume.
+      // one stage whose semantics are corpus-global. The fingerprint is
+      // the BUCKETING/candidate key only; the dedup predicate is text
+      // EQUALITY (the window partitions on (fp_key, text)), so a
+      // multiset-fingerprint collision — e.g. two docs whose texts are
+      // token permutations — is never flagged as a duplicate. Keeper =
+      // row_number 1 by url, so byte-identical rows crawled twice
+      // produce exactly one keeper instead of two self-keepers. Rows are
+      // FLAGGED (keep/dup_of lineage), never dropped: a checkpointed
+      // stage that filtered would conflate "row deduped away" with "row
+      // never processed" on resume.
       import org.apache.spark.sql.functions._
       import org.apache.spark.sql.expressions.Window
       val withFp = graft.operators.Dedup
         .fingerprintLanes(corrected.output.drop("p_bucket"))
         .withColumn("fp_key", concat_ws(":", col("fp1"), col("fp2")))
+        .drop("fp1", "fp2")
       val dedup = Checkpoint.runStage(spark, "dedup", root, withFp,
         "fp_key", buckets) { df =>
-        val w = Window.partitionBy(col("fp_key")).orderBy(col("url"))
-        df.withColumn("keeper", first(col("url")).over(w))
-          .withColumn("keep", col("url") === col("keeper"))
+        val w = Window.partitionBy(col("fp_key"), col("text")).orderBy(col("url"))
+        df.withColumn("keep", row_number().over(w) === 1)
           .withColumn("dup_of",
-            when(col("keep"), lit(null).cast("string")).otherwise(col("keeper")))
-          .drop("keeper")
+            when(col("keep"), lit(null).cast("string"))
+              .otherwise(first(col("url")).over(w)))
       }
-      (dedup.output.drop("p_bucket"), base :+ ("dedup" -> dedup))
+      (dedup.output.drop("p_bucket", "fp_key"), base :+ ("dedup" -> dedup))
     }
   }
 }

@@ -202,4 +202,52 @@ class RunSpec extends AnyFunSuite {
     assert(!offJson.contains("\"dedup\":") && !offJson.contains("dedup_kept"), offJson)
     assert(!java.nio.file.Files.exists(java.nio.file.Paths.get(s"$rootOff/dedup")))
   }
+
+  test("dedup stage: fingerprint collisions and double-crawled rows are handled exactly") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.{col, lit, to_timestamp}
+    // two hand-built pages whose texts are TOKEN PERMUTATIONS (the
+    // multiset fingerprint collides BY CONSTRUCTION), plus one page
+    // crawled twice (identical url AND html). "Exact" must mean byte
+    // equality: the permuted pair stays un-flagged; the double-crawl
+    // yields exactly one keeper, not two self-keepers.
+    def page(url: String, body: String) =
+      (url, "2024-01-01 00:00:00",
+        s"<html><body><p>$body</p></body></html>".getBytes("UTF-8"),
+        "", "en")
+    val rows = Seq(
+      page("http://perm.a/", "alpha beta gamma delta epsilon zeta eta"),
+      page("http://perm.b/", "beta alpha gamma delta epsilon zeta eta"),
+      page("http://twice.c/", "one two three four five six seven"),
+      page("http://twice.c/", "one two three four five six seven"))
+    val pagesPath = tmp("pages-adv") + "/pages.parquet"
+    rows.toDF("url", "ts", "html", "text", "lang")
+      .withColumn("warc_ts", to_timestamp(col("ts"))).drop("ts")
+      .select("url", "warc_ts", "html", "text", "lang")
+      .write.mode("overwrite").parquet(pagesPath)
+
+    val root = tmp("dedup-adv")
+    val json = Run.execute(spark, pagesPath, root, buckets = 2,
+      Run.parseConfig(Seq("--dedup=true")))
+    // 4 rows in; keepers = perm.a + perm.b (DIFFERENT bytes despite the
+    // colliding fingerprint) + one of the twice.c pair = 3
+    assert(json.contains("\"pages\":4"), json)
+    assert(json.contains("\"dedup_kept\":3"), json)
+    val out = spark.read.parquet(s"$root/dedup/data")
+      .select("url", "keep", "dup_of")
+      .as[(String, Boolean, Option[String])].collect().toSeq
+    // premise check (not vacuous): the permuted pair's multiset
+    // fingerprints DO collide in the persisted stage table
+    val permFps = spark.read.parquet(s"$root/dedup/data")
+      .filter(col("url").startsWith("http://perm"))
+      .select("fp_key").as[String].collect().toSeq
+    assert(permFps.length == 2 && permFps.distinct.length == 1,
+      s"permutation premise broken — fps: $permFps")
+    assert(out.filter(_._1.startsWith("http://perm")).forall(_._2),
+      s"permuted texts were flagged as duplicates: $out")
+    val twice = out.filter(_._1 == "http://twice.c/")
+    assert(twice.count(_._2) == 1 && twice.count(!_._2) == 1,
+      s"double-crawled row did not get exactly one keeper: $twice")
+    assert(twice.find(!_._2).get._3.contains("http://twice.c/"))
+  }
 }

@@ -39,13 +39,21 @@ class TokenizerDsirSpec extends AnyFunSuite {
   }
 
   test("q76: round-2 winner reflects the applied round-1 merge") {
-    // the round-1 winner must no longer dominate round 2: its residual
-    // count (separator-shared back-to-back runs only) is strictly below
-    // the round-2 winner's count — i.e. the merge was actually applied
-    // to the symbol strings, not just reported
+    import org.apache.spark.sql.functions._
     val rows = SparkEntry.queries("q76_bpe_merges")(spark, sf)
       .collect().sortBy(_.getLong(0))
-    assert(rows(0).getString(1) != rows(1).getString(1))
+    val (pair1, cnt2) = (rows(0).getString(1), rows(1).getLong(2))
+    // independently re-apply round 1 to the vocabulary and recount the
+    // winning pair's RESIDUAL (separator-shared back-to-back runs only):
+    // it must fall strictly below the round-2 winner's count, proving
+    // the merge was applied to the symbol strings, not just reported
+    val merged = SparkEntry.bpeVocab(spark, sf).withColumn("sym",
+      expr(s"replace(sym, ' $pair1 ', ' ${pair1.replace(" ", "")} ')"))
+    val residual = SparkEntry.bpePairCounts(merged)
+      .filter(col("pair") === pair1)
+      .collect().headOption.map(_.getLong(1)).getOrElse(0L)
+    assert(residual < cnt2,
+      s"round-1 merge not applied: residual($pair1)=$residual >= round-2 cnt=$cnt2")
   }
 
   test("q79: applying the 3 learned merges compresses every language") {

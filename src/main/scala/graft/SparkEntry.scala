@@ -697,6 +697,52 @@ object SparkEntry {
         .crossJoin(probes.agg(count(lit(1)).as("n_cand")))
     }),
 
+    // SemDedup-style cell-partitioned embedding dedup gate (Abbas et
+    // al. 2023's shape, over q53's shared tf embeddings): k=⌈√n⌉ seed
+    // centroids (doc_id < k — a PUSHED scan filter, q40's quantizer
+    // seeding), row-local broadcast-centroid argmin, within-cell pairs
+    // under a ≤128-docs/cell guard, exact graft_cosine ≥ 0.97 verify.
+    // The tf counts make every squared distance an INTEGER held exactly
+    // in doubles, so the argmin can never flip between engines (ties
+    // break to the smaller cid in both). Cells PARTITION the corpus:
+    // unlike the band joins each candidate pair occurs exactly once (no
+    // distinct), and the pair stage is embarrassingly cell-parallel —
+    // at 100 TB, k scales as n/targetCellSize and per-cell work stays
+    // bounded, the published SemDedup scale path. Scored as a recall
+    // gate against the same exact truth q80 uses, plus the cell count
+    // the capacity plan needs.
+    "q82_semdedup_recall" -> ((s, dir) => {
+      val emb = tfEmbeddings(s, dir).drop("m")
+      val k = math.max(8L, math.ceil(math.sqrt(
+        cachedCount(s, dir, "documents").toDouble)).toLong)
+      val centArr = emb.filter(col("doc_id") < k)
+        .agg(sort_array(collect_list(struct(col("doc_id").as("cid"), col("v").as("cv"))))
+          .as("cents"))
+      val dists = expr(
+        """array_sort(transform(cents, c -> struct(
+          |  graft_sqdist(v, c.cv) AS d2,
+          |  c.cid AS cid)))""".stripMargin)
+      val assigned = emb.crossJoin(broadcast(centArr)).withColumn("ds", dists)
+        .select(col("doc_id"), col("v"), expr("ds[0].cid").as("cid"))
+      val wc = Window.partitionBy(col("cid"))
+      val inCell = assigned.withColumn("csz", count(lit(1)).over(wc))
+        .filter(col("csz") <= 128).drop("csz")
+      val a2 = inCell.select(col("cid"), col("doc_id").as("id1"), col("v").as("v1"))
+      val b2 = inCell.select(col("cid"), col("doc_id").as("id2"), col("v").as("v2"))
+      val cand = a2.join(b2, Seq("cid")).filter(col("id1") < col("id2"))
+      val hits = cand.filter(expr("graft_cosine(v1, v2)") >= 0.97)
+        .select(col("id1"), col("id2"))
+      val ea = emb.select(col("doc_id").as("id1"), col("v").as("v1"))
+      val eb = emb.select(col("doc_id").as("id2"), col("v").as("v2"))
+      val exact = ea.join(broadcast(eb), col("id1") < col("id2"))
+        .filter(expr("graft_cosine(v1, v2)") >= 0.97)
+        .select(col("id1"), col("id2"))
+      exact.join(hits.withColumn("hit", lit(true)), Seq("id1", "id2"), "left")
+        .agg(count(lit(1)).as("n_exact"), count(col("hit")).as("n_hit"))
+        .crossJoin(cand.agg(count(lit(1)).as("n_cand")))
+        .crossJoin(assigned.agg(countDistinct(col("cid")).as("n_cells")))
+    }),
+
     // the COMPOSED training-data prep chain — the engine's actual 100 TB
     // use case, every stage reusing an individually-oracled operator:
     //   quality gate (q14's stats)  ->  exact dedup (q15's 2-lane
@@ -2263,13 +2309,11 @@ object SparkEntry {
     * (q53/q80 oracles) — mirrors [[tfEmbeddings]] + [[cosineBandPairs]];
     * also exposes `cent` (doc_id, v, m) for q80's exact all-pairs side.
     */
-  private def cosineBandCtes(from: String): String = {
-    val bands = (0 to 3).map { j =>
-      val bits = (1 to 16).map(i =>
-        s"CASE WHEN v[${16 * j + i}] - m >= 0 THEN '1' ELSE '0' END")
-        .mkString(" || ")
-      s"SELECT doc_id, v, $j AS band, $bits AS key FROM cent"
-    }.mkString("\nUNION ALL ")
+  /** Shared tf-embedding CTE prefix ending in `cent` (doc_id, v, m) —
+    * the DuckDB mirror of [[tfEmbeddings]] alone, for oracles (q82)
+    * that need the embeddings without the banded chain.
+    */
+  private def cosineEmbCtes(from: String): String =
     s"""toks AS (
        |  SELECT doc_id, string_split(text, ' ') AS ts FROM $from),
        |emb AS (
@@ -2277,7 +2321,16 @@ object SparkEntry {
        |    CAST(len(list_filter(ts, t -> length(t) > 0 AND
        |      ('0x' || substring(md5(t), 1, 8))::BIGINT % 64 = b)) AS DOUBLE)) AS v
        |  FROM toks),
-       |cent AS (SELECT doc_id, v, list_sum(v) / 64 AS m FROM emb),
+       |cent AS (SELECT doc_id, v, list_sum(v) / 64 AS m FROM emb)""".stripMargin
+
+  private def cosineBandCtes(from: String): String = {
+    val bands = (0 to 3).map { j =>
+      val bits = (1 to 16).map(i =>
+        s"CASE WHEN v[${16 * j + i}] - m >= 0 THEN '1' ELSE '0' END")
+        .mkString(" || ")
+      s"SELECT doc_id, v, $j AS band, $bits AS key FROM cent"
+    }.mkString("\nUNION ALL ")
+    s"""${cosineEmbCtes(from)},
        |banded0 AS (
        |$bands),
        |banded AS (
@@ -2549,6 +2602,43 @@ object SparkEntry {
          |  CAST(count(m.id1) AS BIGINT) AS n_hit,
          |  (SELECT CAST(count(*) AS BIGINT) FROM cand_pre) AS n_cand
          |FROM exact_cos e LEFT JOIN cos_pairs m
+         |  ON e.id1 = m.id1 AND e.id2 = m.id2""".stripMargin,
+    // oracle recomputes the seed-centroid argmin assignment (integer-
+    // exact sqdist over tf counts, tie -> smaller cid — q40's proven
+    // round-trip shape), the cell-size guard, the within-cell pairs and
+    // the exact-cosine verify independently of the banded chain
+    "q82_semdedup_recall" ->
+      s"""WITH ${cosineEmbCtes("documents")},
+         |kk AS (SELECT GREATEST(8, CAST(CEIL(SQRT(
+         |  (SELECT count(*) FROM documents))) AS BIGINT)) AS k),
+         |sd_ad AS (
+         |  SELECT doc_id, v, cid,
+         |    row_number() OVER (PARTITION BY doc_id ORDER BY d2 ASC, cid ASC) AS rn
+         |  FROM (SELECT e.doc_id, e.v, c.cid,
+         |          list_sum(list_transform(range(1, 65),
+         |            i -> (e.v[CAST(i AS INT)] - c.cv[CAST(i AS INT)]) *
+         |                 (e.v[CAST(i AS INT)] - c.cv[CAST(i AS INT)]))) AS d2
+         |        FROM cent e, (SELECT doc_id AS cid, v AS cv FROM cent
+         |                      WHERE doc_id < (SELECT k FROM kk)) c)),
+         |sd_assigned AS (SELECT doc_id, v, cid FROM sd_ad WHERE rn = 1),
+         |sd_cells AS (
+         |  SELECT cid FROM sd_assigned GROUP BY cid HAVING count(*) <= 128),
+         |sd_cand AS (
+         |  SELECT a.doc_id AS id1, b.doc_id AS id2, a.v AS v1, b.v AS v2
+         |  FROM sd_assigned a JOIN sd_assigned b
+         |    ON a.cid = b.cid AND a.doc_id < b.doc_id
+         |  WHERE a.cid IN (SELECT cid FROM sd_cells)),
+         |sd_pairs AS (
+         |  SELECT id1, id2 FROM sd_cand WHERE ${cosineSql("v1", "v2")} >= 0.97),
+         |sd_exact AS (
+         |  SELECT a.doc_id AS id1, b.doc_id AS id2
+         |  FROM cent a JOIN cent b ON a.doc_id < b.doc_id
+         |  WHERE ${cosineSql("a.v", "b.v")} >= 0.97)
+         |SELECT CAST(count(*) AS BIGINT) AS n_exact,
+         |  CAST(count(m.id1) AS BIGINT) AS n_hit,
+         |  (SELECT CAST(count(*) AS BIGINT) FROM sd_cand) AS n_cand,
+         |  (SELECT CAST(count(DISTINCT cid) AS BIGINT) FROM sd_assigned) AS n_cells
+         |FROM sd_exact e LEFT JOIN sd_pairs m
          |  ON e.id1 = m.id1 AND e.id2 = m.id2""".stripMargin,
     // expected side re-runs the importer's imperative char loop
     // (div/importer.py:150-203) driver-side — see fixtures/Expected.scala

@@ -34,6 +34,36 @@ class DedupSpec extends AnyFunSuite {
     assert(nCand > nHit * 10, s"probe cost implausibly small: $nCand vs $nHit")
   }
 
+  test("q82 semdedup gate: high-but-lossy recall at a cheaper probe cost than bands") {
+    // Unlike the band gates, cell partitioning is LOSSY BY DESIGN —
+    // a near-dup pair can straddle a centroid boundary — and the gate
+    // exists to measure exactly that loss. Generator facts at sf0.001:
+    // 27 exact pairs, 23 caught (4 boundary-split pairs), so the spec
+    // pins recall in (0.8, 1] WITH the loss visible (nHit < nExact
+    // would vacuously pass if the corpus had no split pairs — assert
+    // the fixture exercises the loss mode); the candidate set is a
+    // strict superset of the hits (verify workload visible); n_cand is
+    // bounded by the ≤128-docs/cell guard; and — the reason the
+    // operator exists — cells probe FEWER pairs than the q80 band join
+    // on the same corpus.
+    val r = SparkEntry.queries("q82_semdedup_recall")(spark, "/root/testdata/sf0.001")
+      .collect()(0)
+    val (nExact, nHit, nCand, nCells) =
+      (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))
+    assert(nExact > 0, "degenerate corpus: no exact cosine near-dup pairs")
+    assert(nHit * 5 >= nExact * 4, s"semdedup recall < 0.8 on fixture: $nHit/$nExact")
+    assert(nHit < nExact,
+      s"fixture no longer exercises the boundary-split loss mode: $nHit/$nExact")
+    assert(nCand > nHit, s"probe cost not visible: $nCand vs $nHit")
+    assert(nCells >= 8, s"cell partition degenerate: $nCells cells")
+    assert(nCand <= nCells * (128L * 127 / 2),
+      s"cell guard violated: $nCand candidates from $nCells cells")
+    val bandCand = SparkEntry.queries("q80_cosine_recall")(spark, "/root/testdata/sf0.001")
+      .collect()(0).getLong(2)
+    assert(nCand < bandCand,
+      s"semdedup probe cost $nCand not below band probe cost $bandCand")
+  }
+
   test("q81 simhash recall gate: bands honor the pigeonhole bound on fixture") {
     // hamming <= 2 over 4x8-bit bands provably shares a band when
     // UNguarded; the df<=128 guard is the only possible leak and costs

@@ -338,7 +338,7 @@ class PlanAuditSpec extends AnyFunSuite {
     // (q20's shape): the explicit broadcast hint must hold so a config
     // flip can't degrade it to a partitioned CartesianProduct of the
     // corpus against itself
-    Seq("q80_cosine_recall", "q81_simhash_recall").foreach { name =>
+    Seq("q80_cosine_recall", "q81_simhash_recall", "q82_semdedup_recall").foreach { name =>
       val p = plan(SparkEntry.queries(name)(spark, sf))
       assert(p.contains("BroadcastNestedLoopJoin"),
         s"[$name] exact side lost its broadcast BNLJ:\n$p")

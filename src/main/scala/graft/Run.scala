@@ -36,6 +36,11 @@ import graft.pipeline.{GraftConfig, Pipeline}
   *                                   fingerprint-keyed, flags corpus-wide
   *                                   duplicates with keep/dup_of lineage
   *                                   (rows never dropped)
+  *   --neardup=true|false            append the near-dup stage (requires
+  *                                   --dedup=true): MinHash band pairs
+  *                                   over the exact survivors -> connected
+  *                                   components -> min-url representative,
+  *                                   flagged as nd_keep/nd_dup_of lineage
   *
   * Defaults are the shipped constants, so a flagless invocation is
   * byte-identical to the unparameterized library call.
@@ -62,6 +67,7 @@ object Run {
           case "--profile-no-cache" => cfg.copy(profileNoCache = v.toBoolean)
           case "--dynamic-lexicon" => cfg.copy(dynamicLexicon = v.toBoolean)
           case "--dedup" => cfg.copy(dedup = v.toBoolean)
+          case "--neardup" => cfg.copy(nearDup = v.toBoolean)
           case other => sys.error(s"unknown flag '$other' (see Run scaladoc)")
         }
         case _ => sys.error(s"malformed flag '$flag' — expected --key=value")
@@ -90,9 +96,12 @@ object Run {
     val wallSec = (System.nanoTime() - t0) / 1e9
     // dedup lineage rollup when the stage ran: kept = unique survivors
     val kept =
-      if (cfg.dedup)
+      (if (cfg.dedup)
         s""","dedup_kept":${out.filter(org.apache.spark.sql.functions.col("keep")).count()}"""
-      else ""
+      else "") +
+      (if (cfg.nearDup)
+        s""","neardup_kept":${out.filter(org.apache.spark.sql.functions.col("nd_keep")).count()}"""
+      else "")
     val stages = stageResults.map { case (st, r) =>
       s""""$st":{"buckets":${r.ledger.size},"rows":${r.ledger.map(_.rows).sum},""" +
         s""""processed":${r.processedBuckets.size},"skipped":${r.skippedBuckets.size}}"""

@@ -286,13 +286,8 @@ object SparkEntry {
     * (CollapseProject keeps the non-cheap producer in its own project)
     * and the h-columns are O(1) array extracts.
     */
-  private def withMinhashSig(docs: DataFrame): DataFrame = {
-    graft.functions.MinhashSig.register(docs.sparkSession)
-    docs
-      .withColumn("_mh", expr("graft_minhash8(text)"))
-      .select(docs.columns.toIndexedSeq.map(col) ++
-        (0 to 7).map(j => col("_mh").getItem(j).as(s"h$j")): _*)
-  }
+  private def withMinhashSig(docs: DataFrame): DataFrame =
+    graft.operators.Dedup.minhashSig(docs)
 
   private def minhashBandPairs(docs: DataFrame): DataFrame =
     minhashBandPairsFromSig(withMinhashSig(docs.select(col("doc_id"), col("text"))))
@@ -300,21 +295,11 @@ object SparkEntry {
   /** Band + bucket-join stage over a frame already carrying h0..h7 —
     * lets q51 band the PERSISTED slim survivor set (signatures cached,
     * text long gone) instead of re-deriving signatures from text.
+    * ONE definition shared with the production Run near-dup stage:
+    * [[graft.operators.Dedup.minhashBandPairs]].
     */
-  private def minhashBandPairsFromSig(sig: DataFrame): DataFrame = {
-    def md5s(c: Column): Column = md5(to_binary(c, lit("utf-8")))
-    val banded0 = sig.select(col("doc_id"), posexplode(array(
-      md5s(concat(col("h0"), col("h1"))), md5s(concat(col("h2"), col("h3"))),
-      md5s(concat(col("h4"), col("h5"))), md5s(concat(col("h6"), col("h7")))
-    ))).toDF("doc_id", "band", "key")
-    val wDf = Window.partitionBy(col("band"), col("key"))
-    val banded = banded0.withColumn("df", count(lit(1)).over(wDf))
-      .filter(col("df") <= 128).drop("df")
-    val a = banded.select(col("band"), col("key"), col("doc_id").as("id1"))
-    val b = banded.select(col("band"), col("key"), col("doc_id").as("id2"))
-    a.join(b, Seq("band", "key")).filter(col("id1") < col("id2"))
-      .select(col("id1"), col("id2")).distinct()
-  }
+  private def minhashBandPairsFromSig(sig: DataFrame): DataFrame =
+    graft.operators.Dedup.minhashBandPairs(sig, "doc_id")
 
   /** Edge derivation over a slim signature frame, exposed for the
     * stage-level profiler ([[graft.tools.Q51Prof]]) only.

@@ -50,6 +50,79 @@ object Dedup {
       .withColumn("fp2", expr(lane(13, "1152921504606846883")))
   }
 
+  /** 8-hash MinHash signature columns h0..h7 appended to `docs` (which
+    * must carry `text`) — ONE definition shared by the query board
+    * (q18/q51 via SparkEntry) and the production Run near-dup stage.
+    * Row-local projection (the graft_minhash8 codegen kernel): no
+    * shuffle, no explode.
+    */
+  def minhashSig(docs: DataFrame): DataFrame = {
+    graft.functions.MinhashSig.register(docs.sparkSession)
+    docs
+      .withColumn("_mh", expr("graft_minhash8(text)"))
+      .select(docs.columns.toIndexedSeq.map(col) ++
+        (0 to 7).map(j => col("_mh").getItem(j).as(s"h$j")): _*)
+  }
+
+  /** B=4×R=2 band equi-join candidate pairs over a frame already
+    * carrying h0..h7: DISTINCT (id1, id2) with id1 < id2 under the
+    * df≤128 hot-band guard. The windowed df count shares the (band, key)
+    * shuffle the self-join needs anyway, so signatures are computed
+    * exactly once (ReusedExchange asserted in PlanAuditSpec).
+    */
+  def minhashBandPairs(sig: DataFrame, idCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    def md5s(c: org.apache.spark.sql.Column) = md5(to_binary(c, lit("utf-8")))
+    val banded0 = sig.select(col(idCol), posexplode(array(
+      md5s(concat(col("h0"), col("h1"))), md5s(concat(col("h2"), col("h3"))),
+      md5s(concat(col("h4"), col("h5"))), md5s(concat(col("h6"), col("h7")))
+    ))).toDF(idCol, "band", "key")
+    val wDf = Window.partitionBy(col("band"), col("key"))
+    val banded = banded0.withColumn("df", count(lit(1)).over(wDf))
+      .filter(col("df") <= 128).drop("df")
+    val a = banded.select(col("band"), col("key"), col(idCol).as("id1"))
+    val b = banded.select(col("band"), col("key"), col(idCol).as("id2"))
+    a.join(b, Seq("band", "key")).filter(col("id1") < col("id2"))
+      .select(col("id1"), col("id2")).distinct()
+  }
+
+  /** Corpus-global near-dup keeper labels over (url, text) rows — the
+    * production composition of the individually-oracled q18 (band
+    * pairs) and q50 (connected components): representative = MIN url
+    * per similarity component, returned as ONLY the strict duplicates
+    * (url != rep) in (url, nd_dup_of) form, so the labels table is
+    * bounded by the duplicate mass, not the corpus.
+    *
+    * CC runs on xxhash64(url) vertex ids with a LOUD distinct-count
+    * collision guard: birthday mass is n²/2^65 (~3e-5 at 10^9 docs), and
+    * a collision fails the job rather than silently merging two
+    * unrelated clusters. Input rows sharing a url (double-crawls) map to
+    * one vertex and thus one label, which is what a url-keyed flag join
+    * wants. `docs` should be a cheap re-scannable source (a committed
+    * stage table): the derivation scans it for signatures, the vertex
+    * set and the id→url map.
+    */
+  def nearDupLabels(docs: DataFrame): DataFrame = {
+    val withId = docs.select(col("url"), col("text"))
+      .withColumn("doc_id", xxhash64(col("url")))
+    val guard = withId
+      .agg(countDistinct(col("url")).as("u"), countDistinct(col("doc_id")).as("d"))
+      .first()
+    require(guard.getLong(0) == guard.getLong(1),
+      s"nearDupLabels: xxhash64(url) collision (${guard.getLong(0)} urls -> " +
+        s"${guard.getLong(1)} ids) — two distinct urls share a vertex id; " +
+        "a 64-bit id space is exhausted at this corpus size, widen the key")
+    val pairs = minhashBandPairs(minhashSig(withId.select(col("doc_id"), col("text"))), "doc_id")
+    val verts = withId.select(col("doc_id").as("id")).distinct()
+    val comp = connectedComponents(verts, pairs.toDF("src", "dst"), edgesDistinct = true)
+    val byId = withId.select(col("doc_id").as("id"), col("url")).distinct()
+    val labeled = comp.join(byId, Seq("id"))
+    val reps = labeled.groupBy(col("comp")).agg(min(col("url")).as("nd_dup_of"))
+    labeled.join(reps, Seq("comp"))
+      .filter(col("url") =!= col("nd_dup_of"))
+      .select(col("url"), col("nd_dup_of"))
+  }
+
   private val log = org.slf4j.LoggerFactory.getLogger(getClass)
   @volatile private var warnedLocalFallback = false
 

@@ -46,7 +46,17 @@ final case class GraftConfig(
       * never dropped, so downstream consumers choose their own policy.
       * Off by default (the reference pipeline ends at correction).
       */
-    dedup: Boolean = false
+    dedup: Boolean = false,
+    /** Append the near-dup stage after exact dedup: MinHash band pairs
+      * over the exact-dedup SURVIVORS (running it under the exact layer
+      * is load-bearing — a >128-strong identical-text group saturates
+      * its band keys and would evade the hot-band df guard), connected
+      * components, keeper = MIN url per component, flagged as
+      * nd_keep/nd_dup_of lineage columns — rows are never dropped.
+      * Requires `dedup` (enforced at the pipeline entry, not here, so
+      * CLI flag order cannot construct-then-reject a valid pair).
+      */
+    nearDup: Boolean = false
 ) {
   require(extractors.nonEmpty, "at least one extractor (the master) is required")
   require(maxCandidates >= 1, "maxCandidates must be >= 1")
@@ -76,7 +86,8 @@ final case class GraftConfig(
     s"profileMaxPatterns=$profileMaxPatterns",
     s"profileNoCache=$profileNoCache",
     s"dynLexMinCount=$dynLexMinCount", s"dynLexTopN=$dynLexTopN",
-    s"dynamicLexicon=$dynamicLexicon", s"dedup=$dedup"
+    s"dynamicLexicon=$dynamicLexicon", s"dedup=$dedup",
+    s"nearDup=$nearDup"
   ).mkString(";")
 }
 

@@ -689,6 +689,11 @@ object Pipeline {
     import spark.implicits._
     import graft.plans.Checkpoint
 
+    require(!cfg.nearDup || cfg.dedup,
+      "nearDup requires dedup: the near-dup stage pairs over the " +
+        "exact-dedup survivors (a >128-strong identical-text group " +
+        "saturates its band keys and evades the hot-band guard when the " +
+        "exact layer is missing) — pass --dedup=true as well")
     // refuse a resume under a different config: committed buckets hold
     // the OLD config's output, pending ones would get the NEW one's —
     // per-bucket mixed output with no error is the silent-duplication
@@ -751,7 +756,52 @@ object Pipeline {
             when(col("keep"), lit(null).cast("string"))
               .otherwise(first(col("url")).over(w)))
       }
-      (dedup.output.drop("p_bucket", "fp_key"), base :+ ("dedup" -> dedup))
+      val dedupOut = dedup.output.drop("p_bucket", "fp_key")
+      val withDedup = base :+ ("dedup" -> dedup)
+      if (!cfg.nearDup)
+        (dedupOut, withDedup)
+      else {
+        // near-dup stage = the production q51 composition (band pairs ->
+        // CC -> min-url representative) over the exact-dedup SURVIVORS,
+        // split into two phases because the keeper decision is corpus-
+        // GLOBAL — no bucketing key can confine a similarity component
+        // the way the fingerprint confines an exact-dup group:
+        //   1. a LABELS ARTIFACT (root/neardup/_labels) computed from the
+        //      complete committed dedup table and written exactly once —
+        //      the directory-level _SUCCESS marker is the commit, so a
+        //      crash mid-write recomputes from the same (complete,
+        //      deterministic) input and a resume after commit reuses the
+        //      bytes without re-running CC;
+        //   2. a bucket-local resumable FLAG stage (url-keyed) that
+        //      left-joins the labels — partial resume reproduces clean
+        //      bytes because every pending bucket joins the SAME
+        //      committed labels.
+        // Rows are flagged (nd_keep/nd_dup_of), never dropped, matching
+        // the exact-dedup lineage contract; nd_keep means "survives BOTH
+        // gates" so downstream filters on one column.
+        val labelsPath = s"$root/neardup/_labels"
+        val hfs = new org.apache.hadoop.fs.Path(labelsPath)
+          .getFileSystem(spark.sparkContext.hadoopConfiguration)
+        val committed = hfs.exists(
+          new org.apache.hadoop.fs.Path(labelsPath, "_SUCCESS"))
+        // a fully-committed flag stage never needs the labels again —
+        // without this, a complete resume with a lost _SUCCESS marker
+        // would re-run the whole CC for nothing
+        val stageDone = Checkpoint.readLedger(spark, root, "neardup")
+          .map(_.bucket).toSet.size == buckets
+        if (!committed && !stageDone)
+          graft.operators.Dedup
+            .nearDupLabels(dedupOut.filter(col("keep"))
+              .select(col("url"), col("text")))
+            .write.mode("overwrite").parquet(labelsPath)
+        val nd = Checkpoint.runStage(spark, "neardup", root, dedupOut,
+          "url", buckets) { df =>
+          val lbl = spark.read.parquet(labelsPath)
+          df.join(lbl, Seq("url"), "left")
+            .withColumn("nd_keep", col("keep") && col("nd_dup_of").isNull)
+        }
+        (nd.output.drop("p_bucket"), withDedup :+ ("neardup" -> nd))
+      }
     }
   }
 }

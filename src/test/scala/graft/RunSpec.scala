@@ -250,4 +250,101 @@ class RunSpec extends AnyFunSuite {
       s"double-crawled row did not get exactly one keeper: $twice")
     assert(twice.find(!_._2).get._3.contains("http://twice.c/"))
   }
+
+  test("neardup stage: transitive cluster lineage; labels committed once; partial resume byte-identical") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.{col, concat, lit, to_timestamp}
+    // a near-dup CHAIN a~b~c (one token changed per hop — each adjacent
+    // pair far above the band threshold, a~c more distant) plus an EXACT
+    // re-crawl of a under a lexically LARGER url: the chain must collapse
+    // into one component with the min url as representative, and the
+    // exact copy must be handled by the exact layer (keep=false) while
+    // staying OUT of the near-dup labels (they pair over survivors only)
+    val body =
+      "alpha bravo charlie delta echo foxtrot golf hotel india juliet " +
+        "kilo lima mike november oscar papa quebec romeo sierra tango " +
+        "uniform victor whiskey xray yankee zulu one two three four"
+    def page(url: String, b: String) =
+      (url, "2024-01-01 00:00:00",
+        s"<html><body><p>$b</p></body></html>".getBytes("UTF-8"), "", "en")
+    val handRows = Seq(
+      page("http://nd.a/", body),
+      page("http://nd.b/", body.replace("echo", "exxo")),
+      page("http://nd.c/", body.replace("echo", "exxo").replace("tango", "tanxo")),
+      page("http://zz-recrawl.a/", body))
+    val hand = handRows.toDF("url", "ts", "html", "text", "lang")
+      .withColumn("warc_ts", to_timestamp(col("ts"))).drop("ts")
+      .select("url", "warc_ts", "html", "text", "lang")
+    val base = pipeline.Pipeline.generate(spark, 20).toDF()
+    val pagesPath = tmp("pages-nd") + "/pages.parquet"
+    base.unionByName(hand).write.mode("overwrite").parquet(pagesPath)
+
+    // the near-dup stage without the exact layer is refused loudly
+    val rootBad = tmp("nd-bad")
+    val eBad = intercept[IllegalArgumentException] {
+      Run.execute(spark, pagesPath, rootBad, buckets = 4,
+        Run.parseConfig(Seq("--neardup=true")))
+    }
+    assert(eBad.getMessage.contains("dedup"), eBad.getMessage)
+
+    val cfg = Run.parseConfig(Seq("--dedup=true", "--neardup=true"))
+    val root = tmp("nd-run")
+    val json = Run.execute(spark, pagesPath, root, buckets = 4, cfg)
+    assert(json.contains("\"pages\":24"), json)
+    assert(json.contains("\"neardup\":{"), json)
+
+    def snap(r: String) =
+      spark.read.parquet(s"$r/neardup/data")
+        .select("url", "keep", "dup_of", "nd_keep", "nd_dup_of")
+        .as[(String, Boolean, Option[String], Boolean, Option[String])]
+        .collect().sortBy(_._1).toSeq
+    val clean = snap(root)
+    assert(clean.length == 24, "rows were dropped by the flag stages")
+    val byUrl = clean.map(r => r._1 -> r).toMap
+    // exact layer: the re-crawl lost to min url a; and a non-keeper is
+    // never a near-dup keeper (nd_keep means survives BOTH gates)
+    val re = byUrl("http://zz-recrawl.a/")
+    assert(!re._2 && re._3.contains("http://nd.a/"), s"exact layer broken: $re")
+    assert(!re._4 && re._5.isEmpty, s"exact dup leaked into nd labels: $re")
+    // near-dup chain: one component, min-url representative keeps
+    val a = byUrl("http://nd.a/"); val b = byUrl("http://nd.b/"); val c = byUrl("http://nd.c/")
+    assert(a._2 && a._4 && a._5.isEmpty, s"representative flagged: $a")
+    Seq(b, c).foreach { r =>
+      assert(r._2, s"near-dup is not an exact dup — keep must hold: $r")
+      assert(!r._4 && r._5.contains("http://nd.a/"),
+        s"chain member not labeled to the representative: $r")
+    }
+    // metrics rollup agrees with the table
+    val ndKept = clean.count(_._4)
+    assert(json.contains(s""""neardup_kept":$ndKept"""), json)
+    // the labels artifact holds ONLY the strict duplicates
+    val lbl = spark.read.parquet(s"$root/neardup/_labels")
+      .as[(String, String)].collect().toMap
+    assert(lbl.keySet.forall(u => !byUrl(u)._4), s"labels include a keeper: $lbl")
+    assert(lbl.contains("http://nd.b/") && lbl.contains("http://nd.c/"), lbl.toString)
+
+    // PARTIAL resume: lose one flag-stage bucket; the rerun recomputes
+    // only that bucket against the SAME committed labels (the _SUCCESS
+    // marker's mtime must not move) and reproduces clean bytes
+    val successPath = java.nio.file.Paths.get(s"$root/neardup/_labels/_SUCCESS")
+    val successMtime = java.nio.file.Files.getLastModifiedTime(successPath)
+    val lost = plans.Checkpoint.readLedger(spark, root, "neardup").head.bucket
+    java.nio.file.Files.delete(
+      java.nio.file.Paths.get(f"$root/neardup/_ledger/bucket-$lost%05d.json"))
+    val resumeJson = Run.execute(spark, pagesPath, root, buckets = 4, cfg)
+    assert(resumeJson.contains("\"neardup\":{\"buckets\":4,"), resumeJson)
+    assert(snap(root) == clean, "partial neardup resume changed bytes")
+    assert(java.nio.file.Files.getLastModifiedTime(successPath) == successMtime,
+      "resume recomputed the committed labels artifact")
+
+    // labels crash-resume: a lost _SUCCESS marker with a pending bucket
+    // means the labels write died mid-flight — the rerun must recompute
+    // them from the same complete input and still reproduce clean bytes
+    java.nio.file.Files.delete(successPath)
+    val lost2 = plans.Checkpoint.readLedger(spark, root, "neardup").head.bucket
+    java.nio.file.Files.delete(
+      java.nio.file.Paths.get(f"$root/neardup/_ledger/bucket-$lost2%05d.json"))
+    Run.execute(spark, pagesPath, root, buckets = 4, cfg)
+    assert(snap(root) == clean, "labels recompute changed bytes")
+  }
 }

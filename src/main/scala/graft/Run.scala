@@ -94,14 +94,22 @@ object Run {
     // not pipeline work — counting it inside the timed region would make
     // --dedup headline numbers non-comparable with flagless runs
     val wallSec = (System.nanoTime() - t0) / 1e9
-    // dedup lineage rollup when the stage ran: kept = unique survivors
+    // lineage rollup when the flag stages ran: ONE aggregation pass
+    // computes every kept counter (separate filter().count() jobs would
+    // re-scan the final table once per flag)
     val kept =
-      (if (cfg.dedup)
-        s""","dedup_kept":${out.filter(org.apache.spark.sql.functions.col("keep")).count()}"""
-      else "") +
-      (if (cfg.nearDup)
-        s""","neardup_kept":${out.filter(org.apache.spark.sql.functions.col("nd_keep")).count()}"""
-      else "")
+      if (!cfg.dedup && !cfg.nearDup) ""
+      else {
+        import org.apache.spark.sql.functions.{col, count, when, lit}
+        val aggs =
+          (if (cfg.dedup)
+            Seq(count(when(col("keep"), lit(1))).as("dedup_kept")) else Nil) ++
+          (if (cfg.nearDup)
+            Seq(count(when(col("nd_keep"), lit(1))).as("neardup_kept")) else Nil)
+        val row = out.agg(aggs.head, aggs.tail: _*).first()
+        aggs.indices.map(i =>
+          s""","${row.schema(i).name}":${row.getLong(i)}""").mkString
+      }
     val stages = stageResults.map { case (st, r) =>
       s""""$st":{"buckets":${r.ledger.size},"rows":${r.ledger.map(_.rows).sum},""" +
         s""""processed":${r.processedBuckets.size},"skipped":${r.skippedBuckets.size}}"""

@@ -700,14 +700,11 @@ object SparkEntry {
       val emb = tfEmbeddings(s, dir).drop("m")
       val k = math.max(8L, math.ceil(math.sqrt(
         cachedCount(s, dir, "documents").toDouble)).toLong)
-      val centArr = emb.filter(col("doc_id") < k)
-        .agg(sort_array(collect_list(struct(col("doc_id").as("cid"), col("v").as("cv"))))
-          .as("cents"))
-      val dists = expr(
-        """array_sort(transform(cents, c -> struct(
-          |  graft_sqdist(v, c.cv) AS d2,
-          |  c.cid AS cid)))""".stripMargin)
-      val assigned = emb.crossJoin(broadcast(centArr)).withColumn("ds", dists)
+      val centArr = graft.operators.VectorOps.centroidArray(
+        emb.filter(col("doc_id") < k)
+          .select(col("doc_id").as("cid"), col("v").as("cv")))
+      val assigned = emb.crossJoin(broadcast(centArr))
+        .withColumn("ds", graft.operators.VectorOps.distRank)
         .select(col("doc_id"), col("v"), expr("ds[0].cid").as("cid"))
       val wc = Window.partitionBy(col("cid"))
       val inCell = assigned.withColumn("csz", count(lit(1)).over(wc))
@@ -1090,16 +1087,14 @@ object SparkEntry {
         expr("transform(embedding, x -> cast(x as double))").as("v"))
       val k = math.max(8L, math.ceil(math.sqrt(
         cachedCount(s, dir, "embeddings").toDouble)).toLong)
-      val centArr = emb.filter(col("vec_id") < k)
-        .agg(sort_array(collect_list(struct(col("vec_id").as("cid"), col("v").as("cv"))))
-          .as("cents"))
+      val centArr = graft.operators.VectorOps.centroidArray(
+        emb.filter(col("vec_id") < k)
+          .select(col("vec_id").as("cid"), col("v").as("cv")))
       // per-centroid squared distance, ranked row-locally; the inner fold
       // is the codegen'd graft_sqdist kernel (same left-fold order as the
-      // aggregate/zip_with HOF it replaced)
-      val dists = expr(
-        """array_sort(transform(cents, c -> struct(
-          |  graft_sqdist(v, c.cv) AS d2,
-          |  c.cid AS cid)))""".stripMargin)
+      // aggregate/zip_with HOF it replaced); ONE shared definition with
+      // q82/lloydOnce so the engines' tie-break can never diverge
+      val dists = graft.operators.VectorOps.distRank
       val assigned = emb.crossJoin(broadcast(centArr)).withColumn("ds", dists)
         .select(col("vec_id"), col("v"), expr("ds[0].cid").as("cid"))
       // probes from a SEPARATE pre-filtered branch: the vec_id < 3 filter
@@ -2290,10 +2285,6 @@ object SparkEntry {
        |  (sqrt(list_sum(list_transform($av, x -> x * x))) *
        |   sqrt(list_sum(list_transform($bv, x -> x * x))))""".stripMargin
 
-  /** Shared centered-sign cosine-band CTE chain ending in `cos_pairs`
-    * (q53/q80 oracles) — mirrors [[tfEmbeddings]] + [[cosineBandPairs]];
-    * also exposes `cent` (doc_id, v, m) for q80's exact all-pairs side.
-    */
   /** Shared tf-embedding CTE prefix ending in `cent` (doc_id, v, m) —
     * the DuckDB mirror of [[tfEmbeddings]] alone, for oracles (q82)
     * that need the embeddings without the banded chain.
@@ -2308,6 +2299,11 @@ object SparkEntry {
        |  FROM toks),
        |cent AS (SELECT doc_id, v, list_sum(v) / 64 AS m FROM emb)""".stripMargin
 
+  /** Shared centered-sign cosine-band CTE chain ending in `cos_pairs`
+    * (q53/q80 oracles) — mirrors [[tfEmbeddings]] + [[cosineBandPairs]]
+    * on top of [[cosineEmbCtes]]; also exposes `cent` (doc_id, v, m)
+    * for q80's exact all-pairs side.
+    */
   private def cosineBandCtes(from: String): String = {
     val bands = (0 to 3).map { j =>
       val bits = (1 to 16).map(i =>

@@ -768,7 +768,7 @@ object Pipeline {
         // the way the fingerprint confines an exact-dup group:
         //   1. a LABELS ARTIFACT (root/neardup/_labels) computed from the
         //      complete committed dedup table and written exactly once —
-        //      the directory-level _SUCCESS marker is the commit, so a
+        //      an engine-owned atomic marker file is the commit, so a
         //      crash mid-write recomputes from the same (complete,
         //      deterministic) input and a resume after commit reuses the
         //      bytes without re-running CC;
@@ -782,18 +782,27 @@ object Pipeline {
         val labelsPath = s"$root/neardup/_labels"
         val hfs = new org.apache.hadoop.fs.Path(labelsPath)
           .getFileSystem(spark.sparkContext.hadoopConfiguration)
-        val committed = hfs.exists(
-          new org.apache.hadoop.fs.Path(labelsPath, "_SUCCESS"))
+        // the commit marker is OUR OWN single atomic file create (the
+        // same primitive the per-bucket ledgers use), not the Hadoop
+        // _SUCCESS marker — cluster configs routinely disable
+        // marksuccessfuljobs (S3A committers), which would silently
+        // downgrade "computed exactly once" to recompute-per-resume
+        val markerPath = new org.apache.hadoop.fs.Path(
+          s"$root/neardup/_labels.commit")
+        val committed = hfs.exists(markerPath)
         // a fully-committed flag stage never needs the labels again —
-        // without this, a complete resume with a lost _SUCCESS marker
-        // would re-run the whole CC for nothing
+        // without this, a complete resume with a lost marker would
+        // re-run the whole CC for nothing
         val stageDone = Checkpoint.readLedger(spark, root, "neardup")
           .map(_.bucket).toSet.size == buckets
-        if (!committed && !stageDone)
+        if (!committed && !stageDone) {
           graft.operators.Dedup
             .nearDupLabels(dedupOut.filter(col("keep"))
               .select(col("url"), col("text")))
             .write.mode("overwrite").parquet(labelsPath)
+          val out = hfs.create(markerPath, true)
+          try out.write("committed\n".getBytes("UTF-8")) finally out.close()
+        }
         val nd = Checkpoint.runStage(spark, "neardup", root, dedupOut,
           "url", buckets) { df =>
           val lbl = spark.read.parquet(labelsPath)

@@ -324,9 +324,10 @@ class RunSpec extends AnyFunSuite {
     assert(lbl.contains("http://nd.b/") && lbl.contains("http://nd.c/"), lbl.toString)
 
     // PARTIAL resume: lose one flag-stage bucket; the rerun recomputes
-    // only that bucket against the SAME committed labels (the _SUCCESS
-    // marker's mtime must not move) and reproduces clean bytes
-    val successPath = java.nio.file.Paths.get(s"$root/neardup/_labels/_SUCCESS")
+    // only that bucket against the SAME committed labels (the engine's
+    // own commit marker — NOT Hadoop's disable-able _SUCCESS — must not
+    // move) and reproduces clean bytes
+    val successPath = java.nio.file.Paths.get(s"$root/neardup/_labels.commit")
     val successMtime = java.nio.file.Files.getLastModifiedTime(successPath)
     val lost = plans.Checkpoint.readLedger(spark, root, "neardup").head.bucket
     java.nio.file.Files.delete(
@@ -337,7 +338,7 @@ class RunSpec extends AnyFunSuite {
     assert(java.nio.file.Files.getLastModifiedTime(successPath) == successMtime,
       "resume recomputed the committed labels artifact")
 
-    // labels crash-resume: a lost _SUCCESS marker with a pending bucket
+    // labels crash-resume: a lost commit marker with a pending bucket
     // means the labels write died mid-flight — the rerun must recompute
     // them from the same complete input and still reproduce clean bytes
     java.nio.file.Files.delete(successPath)

@@ -1014,10 +1014,15 @@ object SparkEntry {
         .filter(col("hamming") <= 2)
         .select(col("id1"), col("id2")).distinct()
       val probes = joined.select(col("id1"), col("id2")).distinct()
-      val a = sig.select(col("doc_id").as("id1"), col("sh").as("sh1"))
-      val b = sig.select(col("doc_id").as("id2"), col("sh").as("sh2"))
+      // hoist the base-2 string decode OUT of the all-pairs compare:
+      // conv() per PAIR costs 2·n²/2 string parses (25M at sf0.1 —
+      // measured 16 s warm, ~90% of the query); decoded once per DOC the
+      // BNLJ predicate is a raw xor+popcount per pair (n parses total)
+      val sigL = sig.withColumn("shl", conv(col("sh"), 2, 10).cast("long"))
+      val a = sigL.select(col("doc_id").as("id1"), col("shl").as("shl1"))
+      val b = sigL.select(col("doc_id").as("id2"), col("shl").as("shl2"))
       val exact = a.join(broadcast(b), col("id1") < col("id2"))
-        .filter(simhashHamming <= 2)
+        .filter(bit_count(col("shl1").bitwiseXOR(col("shl2"))) <= 2)
         .select(col("id1"), col("id2"))
       exact.join(hits.withColumn("hit", lit(true)), Seq("id1", "id2"), "left")
         .agg(count(lit(1)).as("n_exact"), count(col("hit")).as("n_hit"))

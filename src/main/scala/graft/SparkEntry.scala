@@ -1580,6 +1580,31 @@ object SparkEntry {
         .orderBy(col("lang"), col("bucket"))
     }),
 
+    // per-source DISTINCTIVE vocabulary (tf-idf report — the "what makes
+    // this domain's text different" audit curation teams run per
+    // source): token counts per (source, token) in ONE corpus pass,
+    // source-df per token from the vocabulary-sized aggregate (NOT a
+    // second corpus scan), score = tf * 1e6 div df — an INTEGER
+    // surrogate for tf/df (a float ln-idf could differ in the last ulp
+    // between engines; integral division cannot), top-3 per source.
+    // Scale shape: one map-side-combinable (source, token) shuffle,
+    // then everything downstream is vocabulary-sized.
+    "q83_tfidf_terms" -> ((s, dir) => {
+      val tf = t(s, dir, "documents")
+        .select(col("source"), explode(split(col("text"), " ")).as("tok"))
+        .filter(length(col("tok")) >= 4)
+        .groupBy(col("source"), col("tok")).agg(count(lit(1)).as("tf"))
+      val df = tf.groupBy(col("tok")).agg(count(lit(1)).as("df"))
+      val w = Window.partitionBy(col("source"))
+        .orderBy(col("score").desc, col("tok").asc)
+      tf.join(df, Seq("tok"))
+        .withColumn("score", expr("tf * 1000000L div df"))
+        .withColumn("rnk", row_number().over(w))
+        .filter(col("rnk") <= 3)
+        .select(col("source"), col("rnk"), col("tok"), col("score"))
+        .orderBy(col("source"), col("rnk"))
+    }),
+
     // temperature-balanced language resampling (the multilingual mixture
     // rebalancer LLM pipelines run, XLM-R/UNIMAX-style, alpha = 0.5):
     // per-lang keep rate sqrt(n_min / n_lang) computed on a report-sized
@@ -3166,6 +3191,22 @@ object SparkEntry {
         |  CAST(count(*) AS BIGINT) AS docs,
         |  CAST(sum(n_tokens) AS BIGINT) AS tokens
         |FROM d GROUP BY 1, 2 ORDER BY lang, bucket""".stripMargin,
+    "q83_tfidf_terms" ->
+      """WITH toks AS (
+        |  SELECT source, unnest(string_split(text, ' ')) AS tok FROM documents),
+        |tf AS (
+        |  SELECT source, tok, CAST(count(*) AS BIGINT) AS tf
+        |  FROM toks WHERE length(tok) >= 4 GROUP BY source, tok),
+        |df AS (SELECT tok, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY tok),
+        |sc AS (
+        |  SELECT source, tok, CAST(tf * 1000000 // df AS BIGINT) AS score
+        |  FROM tf JOIN df USING (tok))
+        |SELECT source, rnk, tok, score FROM (
+        |  SELECT source, tok, score,
+        |    row_number() OVER (PARTITION BY source
+        |                       ORDER BY score DESC, tok ASC) AS rnk
+        |  FROM sc) z
+        |WHERE rnk <= 3 ORDER BY source, rnk""".stripMargin,
     "q69_seq_pack" ->
       """WITH d AS (
         |  SELECT doc_id, doc_id % 8 AS shard,

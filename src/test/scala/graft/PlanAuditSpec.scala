@@ -333,6 +333,13 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(p.contains("partial_"), s"bucket stats lost map-side combine:\n$p")
   }
 
+  test("tf-idf report combines map-side; downstream stays vocabulary-sized, no products") {
+    val p = plan(SparkEntry.queries("q83_tfidf_terms")(spark, sf))
+    assert(p.contains("partial_"), s"(source, token) agg lost map-side combine:\n$p")
+    assert(!p.contains("CartesianProduct"), s"tf-idf degenerated to cartesian:\n$p")
+    assert(p.contains("row_number"), s"missing top-k rank window:\n$p")
+  }
+
   test("recall gates: exact all-pairs sides stay broadcast BNLJs, never cartesian") {
     // q80/q81's truth stage is a deliberate bounded all-pairs compare
     // (q20's shape): the explicit broadcast hint must hold so a config

@@ -90,4 +90,25 @@ class TokenizerDsirSpec extends AnyFunSuite {
     assert(sel0 + sel1 + sel2 + sel3 > 0)
     assert(sel0 + sel1 + sel2 + sel3 < n0 + n1 + n2 + n3)
   }
+
+  test("q83: every source reports 3 distinctive terms with monotone integer scores") {
+    val rows = SparkEntry.queries("q83_tfidf_terms")(spark, "/root/testdata/sf0.001")
+      .collect().map(r => (r.getString(0), r.getInt(1), r.getString(2), r.getLong(3)))
+    // 20 sources x top-3, every score positive (the integer surrogate
+    // tf*1e6 div df is >= 1e6/df >= 1e6/nSources for any present token)
+    assert(rows.length == 60, s"expected 60 report rows, got ${rows.length}")
+    assert(rows.map(_._1).distinct.length == 20)
+    assert(rows.forall(_._4 > 0), "non-positive distinctiveness score")
+    rows.groupBy(_._1).foreach { case (src, rs) =>
+      val byRank = rs.sortBy(_._2)
+      assert(byRank.map(_._2).toSeq == Seq(1, 2, 3), s"$src ranks: $byRank")
+      // scores non-increasing in rank; ties broken by token ascending
+      assert(byRank.sliding(2).forall { case Array(a, b) =>
+        a._4 > b._4 || (a._4 == b._4 && a._3 < b._3) }, s"$src order: $byRank")
+    }
+    // distinctiveness is live, not vacuous: at least one top term is
+    // EXCLUSIVE to its source (df = 1 -> score = tf * 1e6)
+    assert(rows.exists(_._4 >= 1000000L),
+      "no source-exclusive term surfaced — the idf weighting is dead")
+  }
 }

@@ -1605,6 +1605,42 @@ object SparkEntry {
         .orderBy(col("source"), col("rnk"))
     }),
 
+    // quality-score CALIBRATION report (the decile audit a curation team
+    // reads before picking a filter threshold): decile boundaries come
+    // from a deterministic md5 hash-sample (~25%), each boundary an
+    // INTEGER-indexed pick from the sample's exact sort (rank k·m div 10
+    // — an element selection, not an interpolated quantile, so both
+    // engines pick the same double bit-for-bit), broadcast back; every
+    // doc buckets row-locally by counting boundaries strictly below its
+    // q14 score. Scale shape: the only sort is over the BOUNDED sample;
+    // the corpus side is one pruned scan + a broadcast + a map-side-
+    // combinable 10-row agg. A global ntile would be a single-task
+    // corpus sort — this is the spelling that survives 100 TB.
+    "q84_quality_deciles" -> ((s, dir) => {
+      val nSpaces = length(col("text")) - length(regexp_replace(col("text"), " ", ""))
+      val docs = t(s, dir, "documents").select(col("doc_id"),
+        nSpaces.cast("long").as("n_spaces"),
+        ((length(col("text")) - nSpaces).cast("double") / (nSpaces + 1)).as("score"))
+      val samp = docs.filter(
+        substring(md5(to_binary(col("doc_id").cast("string"), lit("utf-8"))), 1, 1)
+          .isin("0", "1", "2", "3"))
+      val wS = Window.orderBy(col("score").asc, col("doc_id").asc)
+      val ranked = samp.withColumn("rn", row_number().over(wS).cast("long"))
+      val bounds = ranked
+        .crossJoin(broadcast(samp.agg(count(lit(1)).as("m"))))
+        .filter(expr("rn IN (1*m div 10, 2*m div 10, 3*m div 10, 4*m div 10, " +
+          "5*m div 10, 6*m div 10, 7*m div 10, 8*m div 10, 9*m div 10)"))
+        .agg(sort_array(collect_list(col("score"))).as("bs"))
+      docs.crossJoin(broadcast(bounds))
+        .withColumn("decile",
+          (size(expr("filter(bs, x -> x < score)")) + 1).cast("long"))
+        .groupBy(col("decile"))
+        .agg(count(lit(1)).as("n_docs"), min(col("score")).as("lo"),
+          max(col("score")).as("hi"),
+          (sum(col("n_spaces")) + count(lit(1))).as("tokens"))
+        .orderBy(col("decile"))
+    }),
+
     // temperature-balanced language resampling (the multilingual mixture
     // rebalancer LLM pipelines run, XLM-R/UNIMAX-style, alpha = 0.5):
     // per-lang keep rate sqrt(n_min / n_lang) computed on a report-sized
@@ -3191,6 +3227,31 @@ object SparkEntry {
         |  CAST(count(*) AS BIGINT) AS docs,
         |  CAST(sum(n_tokens) AS BIGINT) AS tokens
         |FROM d GROUP BY 1, 2 ORDER BY lang, bucket""".stripMargin,
+    "q84_quality_deciles" ->
+      """WITH d AS (
+        |  SELECT doc_id,
+        |    CAST(length(text) - length(replace(text, ' ', '')) AS BIGINT) AS n_spaces,
+        |    CAST(length(text) - (length(text) - length(replace(text, ' ', ''))) AS DOUBLE)
+        |      / ((length(text) - length(replace(text, ' ', ''))) + 1) AS score
+        |  FROM documents),
+        |samp AS (
+        |  SELECT * FROM d
+        |  WHERE substring(md5(CAST(doc_id AS VARCHAR)), 1, 1) IN ('0','1','2','3')),
+        |r AS (SELECT score,
+        |        CAST(row_number() OVER (ORDER BY score ASC, doc_id ASC) AS BIGINT) AS rn
+        |      FROM samp),
+        |m AS (SELECT CAST(count(*) AS BIGINT) AS m FROM samp),
+        |b AS (SELECT list_sort(list(score)) AS bs
+        |      FROM r, m
+        |      WHERE rn IN (1*m//10, 2*m//10, 3*m//10, 4*m//10, 5*m//10,
+        |                   6*m//10, 7*m//10, 8*m//10, 9*m//10)),
+        |dd AS (SELECT d.*,
+        |         CAST(len(list_filter(bs, x -> x < score)) + 1 AS BIGINT) AS decile
+        |       FROM d, b)
+        |SELECT decile, CAST(count(*) AS BIGINT) AS n_docs,
+        |  min(score) AS lo, max(score) AS hi,
+        |  CAST(sum(n_spaces) + count(*) AS BIGINT) AS tokens
+        |FROM dd GROUP BY decile ORDER BY decile""".stripMargin,
     "q83_tfidf_terms" ->
       """WITH toks AS (
         |  SELECT source, unnest(string_split(text, ' ')) AS tok FROM documents),

@@ -340,6 +340,16 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(p.contains("row_number"), s"missing top-k rank window:\n$p")
   }
 
+  test("decile calibration sorts only the sample; corpus side is broadcast-bucketed") {
+    val p = plan(SparkEntry.queries("q84_quality_deciles")(spark, sf))
+    // the boundary array and the m-count must reach the corpus side as
+    // broadcasts; the only global sort window runs over the md5 sample
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastExchange"),
+      s"decile boundaries not broadcast:\n$p")
+    assert(p.contains("partial_count"), s"decile rollup lost map-side combine:\n$p")
+    assert(!p.contains("SortMergeJoin"), s"corpus side shuffled for a join:\n$p")
+  }
+
   test("recall gates: exact all-pairs sides stay broadcast BNLJs, never cartesian") {
     // q80/q81's truth stage is a deliberate bounded all-pairs compare
     // (q20's shape): the explicit broadcast hint must hold so a config

@@ -111,4 +111,26 @@ class TokenizerDsirSpec extends AnyFunSuite {
     assert(rows.exists(_._4 >= 1000000L),
       "no source-exclusive term surfaced — the idf weighting is dead")
   }
+
+  test("q84: sampled decile calibration partitions the corpus into ordered score bands") {
+    val rows = SparkEntry.queries("q84_quality_deciles")(spark, "/root/testdata/sf0.001")
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getDouble(3), r.getLong(4)))
+      .sortBy(_._1)
+    assert(rows.map(_._1).toSeq == (1L to 10L), s"deciles: ${rows.map(_._1).toSeq}")
+    assert(rows.map(_._2).sum == 500L, "report dropped or duplicated documents")
+    // sampled boundaries give NEAR-equal bands, not exact tenths — pin a
+    // loose band so a broken bucket expression (everything in decile 1)
+    // fails while sampling variance passes
+    rows.foreach { case (d, n, lo, hi, toks) =>
+      assert(n >= 500 / 20 && n <= 500 / 5, s"decile $d implausible size $n")
+      assert(lo <= hi && toks > 0, s"decile $d degenerate: lo=$lo hi=$hi toks=$toks")
+    }
+    // bands are ordered and DISJOINT: equal scores always land in the
+    // same bucket, so each decile's max must sit strictly below the next
+    // decile's min
+    rows.sliding(2).foreach { case Array(a, b) =>
+      assert(a._4 < b._3, s"deciles ${a._1}/${b._1} overlap: ${a._4} vs ${b._3}")
+    }
+  }
 }

@@ -308,14 +308,24 @@ object SparkEntry {
     minhashBandPairsFromSig(sig)
       .select(col("id1").as("src"), col("id2").as("dst"))
 
+  /** q14's quality-surrogate columns — ONE definition for the space
+    * count and the avg-word-length score shared by q14, the q51 quality
+    * gate ([[survivorsForProf]]) and the q84 decile calibration, so the
+    * calibration thresholds always describe the score the gate actually
+    * applies. The oracles mirror this exact expression text.
+    */
+  private def nSpacesCol: Column =
+    length(col("text")) - length(regexp_replace(col("text"), " ", ""))
+  private def avgWordLenCol: Column =
+    (length(col("text")) - nSpacesCol).cast("double") / (nSpacesCol + 1)
+
   /** The q51 survivor-set frame alone (gate + fp dedup, no persist) —
     * the first half of [[corpusPrepPipeline]], which calls this so the
     * stage-level profiler ([[graft.tools.Q51Prof]]) can never drift from
     * the production chain.
     */
   private[graft] def survivorsForProf(s: SparkSession, dir: String): DataFrame = {
-    val nSpaces = length(col("text")) - length(regexp_replace(col("text"), " ", ""))
-    val awl = (length(col("text")) - nSpaces).cast("double") / (nSpaces + 1)
+    val awl = avgWordLenCol
     val surv0 = t(s, dir, "documents")
       .filter(col("n_chars") >= 100 && awl.between(4.0, 8.0))
       .select(col("doc_id"), col("source"), col("text"))
@@ -856,11 +866,10 @@ object SparkEntry {
 
     // quality scoring: length/space/word-length ratios
     "q14_quality" -> ((s, dir) => {
-      val nSpaces = length(col("text")) - length(regexp_replace(col("text"), " ", ""))
       t(s, dir, "documents")
         .select(col("doc_id"),
-          nSpaces.cast("long").as("n_spaces"),
-          ((length(col("text")) - nSpaces).cast("double") / (nSpaces + 1)).as("avg_word_len"))
+          nSpacesCol.cast("long").as("n_spaces"),
+          avgWordLenCol.as("avg_word_len"))
         .orderBy(col("doc_id"))
     }),
 
@@ -1617,10 +1626,9 @@ object SparkEntry {
     // combinable 10-row agg. A global ntile would be a single-task
     // corpus sort — this is the spelling that survives 100 TB.
     "q84_quality_deciles" -> ((s, dir) => {
-      val nSpaces = length(col("text")) - length(regexp_replace(col("text"), " ", ""))
       val docs = t(s, dir, "documents").select(col("doc_id"),
-        nSpaces.cast("long").as("n_spaces"),
-        ((length(col("text")) - nSpaces).cast("double") / (nSpaces + 1)).as("score"))
+        nSpacesCol.cast("long").as("n_spaces"),
+        avgWordLenCol.as("score"))
       val samp = docs.filter(
         substring(md5(to_binary(col("doc_id").cast("string"), lit("utf-8"))), 1, 1)
           .isin("0", "1", "2", "3"))
@@ -1630,7 +1638,13 @@ object SparkEntry {
         .crossJoin(broadcast(samp.agg(count(lit(1)).as("m"))))
         .filter(expr("rn IN (1*m div 10, 2*m div 10, 3*m div 10, 4*m div 10, " +
           "5*m div 10, 6*m div 10, 7*m div 10, 8*m div 10, 9*m div 10)"))
-        .agg(sort_array(collect_list(col("score"))).as("bs"))
+        // duplicate boundary VALUES (two ranks selecting tied scores)
+        // are collapsed: a repeated value would create a band no score
+        // can fall into — a silently missing decile. With distinct
+        // boundaries every emitted band is non-empty (each boundary is
+        // itself a sampled doc's score); a tie-heavy corpus thus reports
+        // FEWER, wider bands rather than phantom empty ones.
+        .agg(array_distinct(sort_array(collect_list(col("score")))).as("bs"))
       docs.crossJoin(broadcast(bounds))
         .withColumn("decile",
           (size(expr("filter(bs, x -> x < score)")) + 1).cast("long"))
@@ -3241,7 +3255,7 @@ object SparkEntry {
         |        CAST(row_number() OVER (ORDER BY score ASC, doc_id ASC) AS BIGINT) AS rn
         |      FROM samp),
         |m AS (SELECT CAST(count(*) AS BIGINT) AS m FROM samp),
-        |b AS (SELECT list_sort(list(score)) AS bs
+        |b AS (SELECT list_sort(list_distinct(list(score))) AS bs
         |      FROM r, m
         |      WHERE rn IN (1*m//10, 2*m//10, 3*m//10, 4*m//10, 5*m//10,
         |                   6*m//10, 7*m//10, 8*m//10, 9*m//10)),

@@ -343,9 +343,13 @@ class PlanAuditSpec extends AnyFunSuite {
   test("decile calibration sorts only the sample; corpus side is broadcast-bucketed") {
     val p = plan(SparkEntry.queries("q84_quality_deciles")(spark, sf))
     // the boundary array and the m-count must reach the corpus side as
-    // broadcasts; the only global sort window runs over the md5 sample
-    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastExchange"),
+    // broadcast BNLJs — and NO join anywhere may degenerate to a
+    // partitioned cartesian (an un-hinted corpus crossJoin would);
+    // the only global sort window runs over the md5 sample
+    assert(p.contains("BroadcastNestedLoopJoin"),
       s"decile boundaries not broadcast:\n$p")
+    assert(!p.contains("CartesianProduct"),
+      s"a decile join degenerated to cartesian:\n$p")
     assert(p.contains("partial_count"), s"decile rollup lost map-side combine:\n$p")
     assert(!p.contains("SortMergeJoin"), s"corpus side shuffled for a join:\n$p")
   }

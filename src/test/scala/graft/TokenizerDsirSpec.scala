@@ -92,7 +92,7 @@ class TokenizerDsirSpec extends AnyFunSuite {
   }
 
   test("q83: every source reports 3 distinctive terms with monotone integer scores") {
-    val rows = SparkEntry.queries("q83_tfidf_terms")(spark, "/root/testdata/sf0.001")
+    val rows = SparkEntry.queries("q83_tfidf_terms")(spark, sf)
       .collect().map(r => (r.getString(0), r.getInt(1), r.getString(2), r.getLong(3)))
     // 20 sources x top-3, every score positive (the integer surrogate
     // tf*1e6 div df is >= 1e6/df >= 1e6/nSources for any present token)
@@ -113,7 +113,7 @@ class TokenizerDsirSpec extends AnyFunSuite {
   }
 
   test("q84: sampled decile calibration partitions the corpus into ordered score bands") {
-    val rows = SparkEntry.queries("q84_quality_deciles")(spark, "/root/testdata/sf0.001")
+    val rows = SparkEntry.queries("q84_quality_deciles")(spark, sf)
       .collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getDouble(3), r.getLong(4)))
       .sortBy(_._1)

@@ -41,6 +41,8 @@ import graft.pipeline.{GraftConfig, Pipeline}
   *                                   over the exact survivors -> connected
   *                                   components -> min-url representative,
   *                                   flagged as nd_keep/nd_dup_of lineage
+  *   --neardup-df-guard=N            hot-band df skew guard for the
+  *                                   near-dup band join (default 128)
   *
   * Defaults are the shipped constants, so a flagless invocation is
   * byte-identical to the unparameterized library call.
@@ -68,6 +70,7 @@ object Run {
           case "--dynamic-lexicon" => cfg.copy(dynamicLexicon = v.toBoolean)
           case "--dedup" => cfg.copy(dedup = v.toBoolean)
           case "--neardup" => cfg.copy(nearDup = v.toBoolean)
+          case "--neardup-df-guard" => cfg.copy(nearDupDfGuard = v.toInt)
           case other => sys.error(s"unknown flag '$other' (see Run scaladoc)")
         }
         case _ => sys.error(s"malformed flag '$flag' — expected --key=value")

@@ -66,11 +66,14 @@ object Dedup {
 
   /** B=4×R=2 band equi-join candidate pairs over a frame already
     * carrying h0..h7: DISTINCT (id1, id2) with id1 < id2 under the
-    * df≤128 hot-band guard. The windowed df count shares the (band, key)
+    * df≤`dfGuard` hot-band guard (default 128 — the constant the oracle
+    * board mirrors; the production Run surface overrides it via
+    * `--neardup-df-guard`). The windowed df count shares the (band, key)
     * shuffle the self-join needs anyway, so signatures are computed
     * exactly once (ReusedExchange asserted in PlanAuditSpec).
     */
-  def minhashBandPairs(sig: DataFrame, idCol: String): DataFrame = {
+  def minhashBandPairs(sig: DataFrame, idCol: String,
+      dfGuard: Int = 128): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     def md5s(c: org.apache.spark.sql.Column) = md5(to_binary(c, lit("utf-8")))
     val banded0 = sig.select(col(idCol), posexplode(array(
@@ -79,7 +82,7 @@ object Dedup {
     ))).toDF(idCol, "band", "key")
     val wDf = Window.partitionBy(col("band"), col("key"))
     val banded = banded0.withColumn("df", count(lit(1)).over(wDf))
-      .filter(col("df") <= 128).drop("df")
+      .filter(col("df") <= dfGuard).drop("df")
     val a = banded.select(col("band"), col("key"), col(idCol).as("id1"))
     val b = banded.select(col("band"), col("key"), col(idCol).as("id2"))
     a.join(b, Seq("band", "key")).filter(col("id1") < col("id2"))
@@ -102,7 +105,7 @@ object Dedup {
     * stage table): the derivation scans it for signatures, the vertex
     * set and the id→url map.
     */
-  def nearDupLabels(docs: DataFrame): DataFrame = {
+  def nearDupLabels(docs: DataFrame, dfGuard: Int = 128): DataFrame = {
     val withId = docs.select(col("url"), col("text"))
       .withColumn("doc_id", xxhash64(col("url")))
     val guard = withId
@@ -112,7 +115,8 @@ object Dedup {
       s"nearDupLabels: xxhash64(url) collision (${guard.getLong(0)} urls -> " +
         s"${guard.getLong(1)} ids) — two distinct urls share a vertex id; " +
         "a 64-bit id space is exhausted at this corpus size, widen the key")
-    val pairs = minhashBandPairs(minhashSig(withId.select(col("doc_id"), col("text"))), "doc_id")
+    val pairs = minhashBandPairs(
+      minhashSig(withId.select(col("doc_id"), col("text"))), "doc_id", dfGuard)
     val verts = withId.select(col("doc_id").as("id")).distinct()
     val comp = connectedComponents(verts, pairs.toDF("src", "dst"), edgesDistinct = true)
     val byId = withId.select(col("doc_id").as("id"), col("url")).distinct()

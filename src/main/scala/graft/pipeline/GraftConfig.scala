@@ -56,12 +56,22 @@ final case class GraftConfig(
       * Requires `dedup` (enforced at the pipeline entry, not here, so
       * CLI flag order cannot construct-then-reject a valid pair).
       */
-    nearDup: Boolean = false
+    nearDup: Boolean = false,
+    /** Hot-band df guard for the near-dup stage's band join (the
+      * "band/df-guard constants" knob family): a (band, key) shared by
+      * more than this many documents is skipped in that band — the
+      * skew bound that keeps a boilerplate-heavy corpus's join fan-out
+      * linear. 128 is the constant the oracle board pins; raise it for
+      * higher recall on corpora with heavy legitimate duplication,
+      * lower it for tighter worst-case cost.
+      */
+    nearDupDfGuard: Int = 128
 ) {
   require(extractors.nonEmpty, "at least one extractor (the master) is required")
   require(maxCandidates >= 1, "maxCandidates must be >= 1")
   require(minBlockChars >= 0 && maxLinkDensity >= 0.0,
     "segmentation thresholds must be non-negative")
+  require(nearDupDfGuard >= 1, "nearDupDfGuard must be >= 1")
 
   /** Deterministic fingerprint of every knob, for pinning a checkpoint
     * root to the config that produced it
@@ -87,7 +97,7 @@ final case class GraftConfig(
     s"profileNoCache=$profileNoCache",
     s"dynLexMinCount=$dynLexMinCount", s"dynLexTopN=$dynLexTopN",
     s"dynamicLexicon=$dynamicLexicon", s"dedup=$dedup",
-    s"nearDup=$nearDup"
+    s"nearDup=$nearDup", s"nearDupDfGuard=$nearDupDfGuard"
   ).mkString(";")
 }
 

@@ -798,7 +798,7 @@ object Pipeline {
         if (!committed && !stageDone) {
           graft.operators.Dedup
             .nearDupLabels(dedupOut.filter(col("keep"))
-              .select(col("url"), col("text")))
+              .select(col("url"), col("text")), cfg.nearDupDfGuard)
             .write.mode("overwrite").parquet(labelsPath)
           val out = hfs.create(markerPath, true)
           try out.write("committed\n".getBytes("UTF-8")) finally out.close()

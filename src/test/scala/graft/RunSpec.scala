@@ -347,5 +347,23 @@ class RunSpec extends AnyFunSuite {
       java.nio.file.Paths.get(f"$root/neardup/_ledger/bucket-$lost2%05d.json"))
     Run.execute(spark, pagesPath, root, buckets = 4, cfg)
     assert(snap(root) == clean, "labels recompute changed bytes")
+
+    // the df-guard knob is LIVE through the spark-submit surface: at
+    // df<=1 every band key shared by two docs is a hot band, so the
+    // chain produces zero candidate pairs and b/c become keepers — and
+    // the non-default guard is part of the config pin (same-root resume
+    // under the default would silently relabel otherwise)
+    val tight = Run.parseConfig(
+      Seq("--dedup=true", "--neardup=true", "--neardup-df-guard=1"))
+    assert(tight.canonical != cfg.canonical,
+      "df guard missing from the config pin")
+    val rootTight = tmp("nd-tight")
+    Run.execute(spark, pagesPath, rootTight, buckets = 4, tight)
+    val tightSnap = snap(rootTight)
+    Seq("http://nd.a/", "http://nd.b/", "http://nd.c/").foreach { u =>
+      val r = tightSnap.find(_._1 == u).get
+      assert(r._4 && r._5.isEmpty,
+        s"df-guard=1 still produced a near-dup label — knob dead: $r")
+    }
   }
 }

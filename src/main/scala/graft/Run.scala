@@ -43,6 +43,12 @@ import graft.pipeline.{GraftConfig, Pipeline}
   *                                   flagged as nd_keep/nd_dup_of lineage
   *   --neardup-df-guard=N            hot-band df skew guard for the
   *                                   near-dup band join (default 128)
+  *   --neardup-strategy=minhash|semdedup
+  *                                   labels strategy: token-shingle band
+  *                                   join (default) or embedding-cell
+  *                                   semantic dedup (q82's shape)
+  *   --neardup-tau=X                 cosine threshold for the semdedup
+  *                                   strategy (default 0.97)
   *
   * Defaults are the shipped constants, so a flagless invocation is
   * byte-identical to the unparameterized library call.
@@ -71,6 +77,8 @@ object Run {
           case "--dedup" => cfg.copy(dedup = v.toBoolean)
           case "--neardup" => cfg.copy(nearDup = v.toBoolean)
           case "--neardup-df-guard" => cfg.copy(nearDupDfGuard = v.toInt)
+          case "--neardup-strategy" => cfg.copy(nearDupStrategy = v)
+          case "--neardup-tau" => cfg.copy(nearDupTau = v.toDouble)
           case other => sys.error(s"unknown flag '$other' (see Run scaladoc)")
         }
         case _ => sys.error(s"malformed flag '$flag' — expected --key=value")

@@ -127,6 +127,59 @@ object Dedup {
       .select(col("url"), col("nd_dup_of"))
   }
 
+  /** Semantic near-dup keeper labels (the SemDedup strategy, q82's
+    * shape at production): hashed-tf embeddings, k=⌈√n⌉ seed centroids
+    * (the k smallest vertex ids — a bounded top-k, not a sort), row-local
+    * broadcast-centroid argmin cells, within-cell pairs under the
+    * ≤128-docs/cell guard, exact graft_cosine ≥ `tau` verify, then the
+    * same CC → min-url representative → strict-dups-only (url,
+    * nd_dup_of) contract as [[nearDupLabels]]. Catches paraphrase-level
+    * duplicates MinHash token shingles miss; trades the band join's
+    * near-lossless recall for cell-bounded probe cost (the q82 gate
+    * scores exactly this trade against exact truth).
+    */
+  def semDedupLabels(docs: DataFrame, tau: Double = 0.97): DataFrame = {
+    val spark = docs.sparkSession
+    graft.functions.CosineSim.register(spark)
+    graft.functions.HashTf.register(spark)
+    val withId = docs.select(col("url"), col("text"))
+      .withColumn("doc_id", xxhash64(col("url")))
+    val guard = withId
+      .agg(countDistinct(col("url")).as("u"), countDistinct(col("doc_id")).as("d"),
+        count(lit(1)).as("n"))
+      .first()
+    require(guard.getLong(0) == guard.getLong(1),
+      s"semDedupLabels: xxhash64(url) collision (${guard.getLong(0)} urls -> " +
+        s"${guard.getLong(1)} ids) — widen the key")
+    val k = math.max(4, math.ceil(math.sqrt(guard.getLong(2).toDouble)).toInt)
+    val emb = withId.select(col("doc_id"), col("url"),
+      expr("graft_hashtf(split(text, ' '))").as("v"))
+    val centArr = VectorOps.centroidArray(
+      emb.orderBy(col("doc_id")).limit(k)
+        .select(col("doc_id").as("cid"), col("v").as("cv")))
+    val assigned = emb.crossJoin(broadcast(centArr))
+      .withColumn("ds", VectorOps.distRank)
+      .select(col("doc_id"), col("url"), col("v"), expr("ds[0].cid").as("cid"))
+    val wc = org.apache.spark.sql.expressions.Window.partitionBy(col("cid"))
+    val inCell = assigned.withColumn("csz", count(lit(1)).over(wc))
+      .filter(col("csz") <= 128).drop("csz")
+    val a = inCell.select(col("cid"), col("doc_id").as("src"), col("v").as("v1"))
+    val b = inCell.select(col("cid"), col("doc_id").as("dst"), col("v").as("v2"))
+    val pairs = a.join(b, Seq("cid")).filter(col("src") < col("dst"))
+      .filter(expr("graft_cosine(v1, v2)") >= tau)
+      .select(col("src"), col("dst"))
+    val verts = withId.select(col("doc_id").as("id")).distinct()
+    // cells partition the corpus, so the pair set is distinct by
+    // construction — skip the redundant edge shuffle
+    val comp = connectedComponents(verts, pairs, edgesDistinct = true)
+    val byId = withId.select(col("doc_id").as("id"), col("url")).distinct()
+    val labeled = comp.join(byId, Seq("id"))
+    val reps = labeled.groupBy(col("comp")).agg(min(col("url")).as("nd_dup_of"))
+    labeled.join(reps, Seq("comp"))
+      .filter(col("url") =!= col("nd_dup_of"))
+      .select(col("url"), col("nd_dup_of"))
+  }
+
   private val log = org.slf4j.LoggerFactory.getLogger(getClass)
   @volatile private var warnedLocalFallback = false
 

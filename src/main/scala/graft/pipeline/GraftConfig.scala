@@ -65,13 +65,26 @@ final case class GraftConfig(
       * higher recall on corpora with heavy legitimate duplication,
       * lower it for tighter worst-case cost.
       */
-    nearDupDfGuard: Int = 128
+    nearDupDfGuard: Int = 128,
+    /** Labels strategy for the near-dup stage: "minhash" (token-shingle
+      * band join — near-lossless recall on token-level duplication) or
+      * "semdedup" (hashed-tf embedding cells + exact-cosine verify —
+      * catches paraphrase-level duplicates at cell-bounded probe cost;
+      * q80/q82 score exactly this trade against exact truth).
+      */
+    nearDupStrategy: String = "minhash",
+    /** Cosine threshold for the semdedup strategy's verify step. */
+    nearDupTau: Double = 0.97
 ) {
   require(extractors.nonEmpty, "at least one extractor (the master) is required")
   require(maxCandidates >= 1, "maxCandidates must be >= 1")
   require(minBlockChars >= 0 && maxLinkDensity >= 0.0,
     "segmentation thresholds must be non-negative")
   require(nearDupDfGuard >= 1, "nearDupDfGuard must be >= 1")
+  require(Set("minhash", "semdedup")(nearDupStrategy),
+    s"unknown nearDupStrategy '$nearDupStrategy' (minhash | semdedup)")
+  require(nearDupTau > 0.0 && nearDupTau <= 1.0,
+    "nearDupTau must be in (0, 1]")
 
   /** Deterministic fingerprint of every knob, for pinning a checkpoint
     * root to the config that produced it
@@ -97,7 +110,8 @@ final case class GraftConfig(
     s"profileNoCache=$profileNoCache",
     s"dynLexMinCount=$dynLexMinCount", s"dynLexTopN=$dynLexTopN",
     s"dynamicLexicon=$dynamicLexicon", s"dedup=$dedup",
-    s"nearDup=$nearDup", s"nearDupDfGuard=$nearDupDfGuard"
+    s"nearDup=$nearDup", s"nearDupDfGuard=$nearDupDfGuard",
+    s"nearDupStrategy=$nearDupStrategy", s"nearDupTau=$nearDupTau"
   ).mkString(";")
 }
 

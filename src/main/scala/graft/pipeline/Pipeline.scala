@@ -796,10 +796,15 @@ object Pipeline {
         val stageDone = Checkpoint.readLedger(spark, root, "neardup")
           .map(_.bucket).toSet.size == buckets
         if (!committed && !stageDone) {
-          graft.operators.Dedup
-            .nearDupLabels(dedupOut.filter(col("keep"))
-              .select(col("url"), col("text")), cfg.nearDupDfGuard)
-            .write.mode("overwrite").parquet(labelsPath)
+          val survivors = dedupOut.filter(col("keep"))
+            .select(col("url"), col("text"))
+          val labels = cfg.nearDupStrategy match {
+            case "semdedup" =>
+              graft.operators.Dedup.semDedupLabels(survivors, cfg.nearDupTau)
+            case _ =>
+              graft.operators.Dedup.nearDupLabels(survivors, cfg.nearDupDfGuard)
+          }
+          labels.write.mode("overwrite").parquet(labelsPath)
           val out = hfs.create(markerPath, true)
           try out.write("committed\n".getBytes("UTF-8")) finally out.close()
         }

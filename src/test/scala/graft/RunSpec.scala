@@ -365,5 +365,31 @@ class RunSpec extends AnyFunSuite {
       assert(r._4 && r._5.isEmpty,
         s"df-guard=1 still produced a near-dup label — knob dead: $r")
     }
+
+    // the SEMDEDUP strategy through the same surface: embedding cells +
+    // exact-cosine verify must collapse the same chain (one-token edits
+    // leave the tf vectors ~0.93-0.97 cosine-close, so τ=0.9 catches
+    // both hops) and stays a distinct pinned config; the exact re-crawl
+    // is still handled by the exact layer, not the labels
+    val sem = Run.parseConfig(Seq("--dedup=true", "--neardup=true",
+      "--neardup-strategy=semdedup", "--neardup-tau=0.9"))
+    assert(sem.canonical != cfg.canonical,
+      "semdedup strategy missing from the config pin")
+    val rootSem = tmp("nd-sem")
+    Run.execute(spark, pagesPath, rootSem, buckets = 4, sem)
+    val semSnap = snap(rootSem)
+    val sa = semSnap.find(_._1 == "http://nd.a/").get
+    assert(sa._2 && sa._4 && sa._5.isEmpty, s"semdedup flagged the representative: $sa")
+    Seq("http://nd.b/", "http://nd.c/").foreach { u =>
+      val r = semSnap.find(_._1 == u).get
+      assert(!r._4 && r._5.contains("http://nd.a/"),
+        s"semdedup missed a chain member: $r")
+    }
+    val semRe = semSnap.find(_._1 == "http://zz-recrawl.a/").get
+    assert(!semRe._2 && !semRe._4 && semRe._5.isEmpty,
+      s"exact dup leaked into semdedup labels: $semRe")
+    // unknown strategy fails loudly at parse/construct time
+    assertThrows[IllegalArgumentException](
+      Run.parseConfig(Seq("--neardup-strategy=simhash")))
   }
 }

@@ -41,8 +41,9 @@ import graft.pipeline.{GraftConfig, Pipeline}
   *                                   over the exact survivors -> connected
   *                                   components -> min-url representative,
   *                                   flagged as nd_keep/nd_dup_of lineage
-  *   --neardup-df-guard=N            hot-band df skew guard for the
-  *                                   near-dup band join (default 128)
+  *   --neardup-df-guard=N            near-dup pair-generation skew guard
+  *                                   (default 128): band df cap under
+  *                                   minhash, cell-size cap under semdedup
   *   --neardup-strategy=minhash|semdedup
   *                                   labels strategy: token-shingle band
   *                                   join (default) or embedding-cell

@@ -106,71 +106,89 @@ object Dedup {
     * set and the id→url map.
     */
   def nearDupLabels(docs: DataFrame, dfGuard: Int = 128): DataFrame = {
-    val withId = docs.select(col("url"), col("text"))
-      .withColumn("doc_id", xxhash64(col("url")))
-    val guard = withId
-      .agg(countDistinct(col("url")).as("u"), countDistinct(col("doc_id")).as("d"))
-      .first()
-    require(guard.getLong(0) == guard.getLong(1),
-      s"nearDupLabels: xxhash64(url) collision (${guard.getLong(0)} urls -> " +
-        s"${guard.getLong(1)} ids) — two distinct urls share a vertex id; " +
-        "a 64-bit id space is exhausted at this corpus size, widen the key")
+    val withId = vertexIds(docs, "nearDupLabels")
     val pairs = minhashBandPairs(
       minhashSig(withId.select(col("doc_id"), col("text"))), "doc_id", dfGuard)
-    val verts = withId.select(col("doc_id").as("id")).distinct()
-    val comp = connectedComponents(verts, pairs.toDF("src", "dst"), edgesDistinct = true)
-    val byId = withId.select(col("doc_id").as("id"), col("url")).distinct()
-    val labeled = comp.join(byId, Seq("id"))
-    val reps = labeled.groupBy(col("comp")).agg(min(col("url")).as("nd_dup_of"))
-    labeled.join(reps, Seq("comp"))
-      .filter(col("url") =!= col("nd_dup_of"))
-      .select(col("url"), col("nd_dup_of"))
+    labelsFromPairs(withId, pairs.toDF("src", "dst"))
   }
 
   /** Semantic near-dup keeper labels (the SemDedup strategy, q82's
     * shape at production): hashed-tf embeddings, k=⌈√n⌉ seed centroids
     * (the k smallest vertex ids — a bounded top-k, not a sort), row-local
     * broadcast-centroid argmin cells, within-cell pairs under the
-    * ≤128-docs/cell guard, exact graft_cosine ≥ `tau` verify, then the
-    * same CC → min-url representative → strict-dups-only (url,
+    * ≤`cellCap`-docs/cell skew guard (the SAME knob the minhash strategy
+    * spends on its band-df guard), exact graft_cosine ≥ `tau` verify,
+    * then the same CC → min-url representative → strict-dups-only (url,
     * nd_dup_of) contract as [[nearDupLabels]]. Catches paraphrase-level
     * duplicates MinHash token shingles miss; trades the band join's
     * near-lossless recall for cell-bounded probe cost (the q82 gate
     * scores exactly this trade against exact truth).
     */
-  def semDedupLabels(docs: DataFrame, tau: Double = 0.97): DataFrame = {
+  def semDedupLabels(docs: DataFrame, tau: Double = 0.97,
+      cellCap: Int = 128): DataFrame = {
     val spark = docs.sparkSession
     graft.functions.CosineSim.register(spark)
     graft.functions.HashTf.register(spark)
-    val withId = docs.select(col("url"), col("text"))
-      .withColumn("doc_id", xxhash64(col("url")))
-    val guard = withId
-      .agg(countDistinct(col("url")).as("u"), countDistinct(col("doc_id")).as("d"),
-        count(lit(1)).as("n"))
-      .first()
-    require(guard.getLong(0) == guard.getLong(1),
-      s"semDedupLabels: xxhash64(url) collision (${guard.getLong(0)} urls -> " +
-        s"${guard.getLong(1)} ids) — widen the key")
-    val k = math.max(4, math.ceil(math.sqrt(guard.getLong(2).toDouble)).toInt)
-    val emb = withId.select(col("doc_id"), col("url"),
+    val withId = vertexIds(docs, "semDedupLabels")
+    // ONE embedding row per vertex: a url re-crawled with CHANGED text
+    // survives exact dedup twice under one vertex id — embed the MIN
+    // text (deterministic pick; partition-order dropDuplicates is not)
+    // so seed selection, cells and pairs are stable across a
+    // crash-before-marker labels recompute, and the cell partition's
+    // pair set stays distinct-by-construction (the edgesDistinct
+    // premise below)
+    val oneText = withId.groupBy(col("doc_id"), col("url"))
+      .agg(min(col("text")).as("text"))
+    val n = oneText.count()
+    val k = math.max(4, math.ceil(math.sqrt(n.toDouble)).toInt)
+    val emb = oneText.select(col("doc_id"),
       expr("graft_hashtf(split(text, ' '))").as("v"))
     val centArr = VectorOps.centroidArray(
       emb.orderBy(col("doc_id")).limit(k)
         .select(col("doc_id").as("cid"), col("v").as("cv")))
     val assigned = emb.crossJoin(broadcast(centArr))
       .withColumn("ds", VectorOps.distRank)
-      .select(col("doc_id"), col("url"), col("v"), expr("ds[0].cid").as("cid"))
+      .select(col("doc_id"), col("v"), expr("ds[0].cid").as("cid"))
     val wc = org.apache.spark.sql.expressions.Window.partitionBy(col("cid"))
     val inCell = assigned.withColumn("csz", count(lit(1)).over(wc))
-      .filter(col("csz") <= 128).drop("csz")
+      .filter(col("csz") <= cellCap).drop("csz")
     val a = inCell.select(col("cid"), col("doc_id").as("src"), col("v").as("v1"))
     val b = inCell.select(col("cid"), col("doc_id").as("dst"), col("v").as("v2"))
     val pairs = a.join(b, Seq("cid")).filter(col("src") < col("dst"))
       .filter(expr("graft_cosine(v1, v2)") >= tau)
       .select(col("src"), col("dst"))
+    labelsFromPairs(withId, pairs)
+  }
+
+  /** Shared vertex-id derivation for the labels strategies: one
+    * xxhash64(url) vertex per url with a LOUD distinct-count collision
+    * guard — birthday mass is n²/2^65 (~3e-5 at 10^9 docs), and a
+    * collision fails the job rather than silently merging two unrelated
+    * clusters. Rows sharing a url (double-crawls) map to one vertex and
+    * thus one label, which is what a url-keyed flag join wants.
+    */
+  private def vertexIds(docs: DataFrame, who: String): DataFrame = {
+    val withId = docs.select(col("url"), col("text"))
+      .withColumn("doc_id", xxhash64(col("url")))
+    val guard = withId
+      .agg(countDistinct(col("url")).as("u"), countDistinct(col("doc_id")).as("d"))
+      .first()
+    require(guard.getLong(0) == guard.getLong(1),
+      s"$who: xxhash64(url) collision (${guard.getLong(0)} urls -> " +
+        s"${guard.getLong(1)} ids) — two distinct urls share a vertex id; " +
+        "a 64-bit id space is exhausted at this corpus size, widen the key")
+    withId
+  }
+
+  /** Shared labels tail for the strategies: CC over DISTINCT (src, dst)
+    * candidate pairs (both producers end distinct-by-construction —
+    * minhashBandPairs' explicit distinct, the cell partition's disjoint
+    * pairing), representative = MIN url per component, strict duplicates
+    * only (url != rep) as (url, nd_dup_of) — ONE definition so the two
+    * strategies' labels contract can never diverge.
+    */
+  private def labelsFromPairs(withId: DataFrame, pairs: DataFrame): DataFrame = {
     val verts = withId.select(col("doc_id").as("id")).distinct()
-    // cells partition the corpus, so the pair set is distinct by
-    // construction — skip the redundant edge shuffle
     val comp = connectedComponents(verts, pairs, edgesDistinct = true)
     val byId = withId.select(col("doc_id").as("id"), col("url")).distinct()
     val labeled = comp.join(byId, Seq("id"))

@@ -57,13 +57,15 @@ final case class GraftConfig(
       * CLI flag order cannot construct-then-reject a valid pair).
       */
     nearDup: Boolean = false,
-    /** Hot-band df guard for the near-dup stage's band join (the
-      * "band/df-guard constants" knob family): a (band, key) shared by
-      * more than this many documents is skipped in that band — the
-      * skew bound that keeps a boilerplate-heavy corpus's join fan-out
-      * linear. 128 is the constant the oracle board pins; raise it for
-      * higher recall on corpora with heavy legitimate duplication,
-      * lower it for tighter worst-case cost.
+    /** Skew guard for the near-dup stage's pair generation (the
+      * "band/df-guard constants" knob family): under the minhash
+      * strategy, a (band, key) shared by more than this many documents
+      * is skipped in that band; under the semdedup strategy, a centroid
+      * cell larger than this is skipped — either way the bound that
+      * keeps a boilerplate-heavy corpus's pair fan-out linear. 128 is
+      * the constant the oracle board pins; raise it for higher recall
+      * on corpora with heavy legitimate duplication, lower it for
+      * tighter worst-case cost.
       */
     nearDupDfGuard: Int = 128,
     /** Labels strategy for the near-dup stage: "minhash" (token-shingle

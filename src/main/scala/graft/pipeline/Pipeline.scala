@@ -800,9 +800,14 @@ object Pipeline {
             .select(col("url"), col("text"))
           val labels = cfg.nearDupStrategy match {
             case "semdedup" =>
-              graft.operators.Dedup.semDedupLabels(survivors, cfg.nearDupTau)
-            case _ =>
+              graft.operators.Dedup.semDedupLabels(survivors, cfg.nearDupTau,
+                cellCap = cfg.nearDupDfGuard)
+            case "minhash" =>
               graft.operators.Dedup.nearDupLabels(survivors, cfg.nearDupDfGuard)
+            // GraftConfig validates the strategy set; a strategy added
+            // there but not here must fail LOUDLY, not silently run
+            // minhash under a pin claiming the new strategy
+            case other => sys.error(s"unhandled nearDupStrategy '$other'")
           }
           labels.write.mode("overwrite").parquet(labelsPath)
           val out = hfs.create(markerPath, true)

@@ -388,6 +388,18 @@ class RunSpec extends AnyFunSuite {
     val semRe = semSnap.find(_._1 == "http://zz-recrawl.a/").get
     assert(!semRe._2 && !semRe._4 && semRe._5.isEmpty,
       s"exact dup leaked into semdedup labels: $semRe")
+    // semdedup resume contract, same drill as minhash: lose one flag
+    // bucket AND the labels commit marker — the recompute must derive
+    // byte-identical labels from the same committed input (seed
+    // selection and cells are deterministic by construction: one
+    // min-text embedding per vertex) and reproduce the clean bytes
+    java.nio.file.Files.delete(
+      java.nio.file.Paths.get(s"$rootSem/neardup/_labels.commit"))
+    val semLost = plans.Checkpoint.readLedger(spark, rootSem, "neardup").head.bucket
+    java.nio.file.Files.delete(
+      java.nio.file.Paths.get(f"$rootSem/neardup/_ledger/bucket-$semLost%05d.json"))
+    Run.execute(spark, pagesPath, rootSem, buckets = 4, sem)
+    assert(snap(rootSem) == semSnap, "semdedup labels recompute changed bytes")
     // unknown strategy fails loudly at parse/construct time
     assertThrows[IllegalArgumentException](
       Run.parseConfig(Seq("--neardup-strategy=simhash")))

@@ -77,6 +77,52 @@ class DedupSpec extends AnyFunSuite {
     assert(nCand > nHit, s"probe cost not visible: $nCand vs $nHit")
   }
 
+  test("labels strategies: min-url representative, strict-dups-only, stable under url re-crawls") {
+    import spark.implicits._
+    // three near-identical docs (one token changed per hop), one distant
+    // doc, and a url RE-CRAWLED with changed text (two rows, one vertex)
+    val base = "alpha bravo charlie delta echo foxtrot golf hotel india " +
+      "juliet kilo lima mike november oscar papa quebec romeo sierra tango"
+    val docs = Seq(
+      ("http://u.b/", base),
+      ("http://u.a/", base.replace("echo", "exxo")),
+      ("http://u.c/", base.replace("echo", "exxo").replace("kilo", "kixo")),
+      ("http://u.z/", "zeta eta theta iota kappa mu nu xi omicron pi rho"),
+      ("http://u.r/", "one two three four five six seven eight nine ten"),
+      ("http://u.r/", "one two three four five six seven eight nine drift")
+    ).toDF("url", "text")
+    Seq[org.apache.spark.sql.DataFrame => org.apache.spark.sql.DataFrame](
+      d => Dedup.nearDupLabels(d),
+      d => Dedup.semDedupLabels(d, tau = 0.9)
+    ).zip(Seq("minhash", "semdedup")).foreach { case (strategy, name) =>
+      val labels = strategy(docs).collect()
+        .map(r => r.getString(0) -> r.getString(1)).sortBy(_._1).toSeq
+      // contract shared by BOTH strategies: labels hold ONLY strict dups
+      // from the chain (never a representative, never the distant doc,
+      // never the re-crawled url — its two texts share one vertex, and a
+      // vertex can't pair with itself), and every label points at a
+      // lexicographically SMALLER url (rep = component min)
+      assert(labels.nonEmpty, s"[$name] no near-dup labeled")
+      assert(labels.map(_._1).toSet.subsetOf(Set("http://u.b/", "http://u.c/")),
+        s"[$name] labeled a non-chain doc: $labels")
+      assert(labels.forall { case (u, rep) => rep < u && rep == "http://u.a/" },
+        s"[$name] rep is not the min url: $labels")
+      // determinism incl. the re-crawled url (two texts, one vertex):
+      // a second invocation (= a crash-before-marker labels recompute)
+      // must produce identical labels
+      val again = strategy(docs).collect()
+        .map(r => r.getString(0) -> r.getString(1)).sortBy(_._1).toSeq
+      assert(again == labels, s"[$name] labels not stable across recompute")
+      // minhash bands are near-lossless on token-level edits: the FULL
+      // chain must collapse (semdedup at n=6 runs with k=4 centroids —
+      // chain members can BE centroids and split cells, the documented
+      // toy-scale degeneracy; RunSpec pins its full collapse at n=24)
+      if (name == "minhash")
+        assert(labels.map(_._1).toSet == Set("http://u.b/", "http://u.c/"),
+          s"[$name] chain did not fully collapse: $labels")
+    }
+  }
+
   test("connected components: chains merge transitively, singletons survive") {
     import spark.implicits._
     // 0-1-2-3-4 chain (diameter 4 -> needs multiple propagation rounds),

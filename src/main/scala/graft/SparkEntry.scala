@@ -140,9 +140,14 @@ object SparkEntry {
     * stable under re-ingest/re-partitioning; no RNG state) — q56's
     * train(<8)/val(8)/test(9) scheme, shared by q60/q61/q62.
     */
-  private def splitBucket: Column =
+  private def splitBucket: Column = splitBucketOf(col("doc_id"))
+
+  /** [[splitBucket]] over an arbitrary id column — q85 derives the
+    * split of a pair's endpoints from the ids alone, no doc join.
+    */
+  private def splitBucketOf(id: Column): Column =
     conv(substring(md5(to_binary(
-      concat(lit("split:"), col("doc_id").cast("string")), lit("utf-8"))),
+      concat(lit("split:"), id.cast("string")), lit("utf-8"))),
       1, 4), 16, 10).cast("long") % 10
 
   /** The split label over [[splitBucket]]'s `b` column — ONE definition
@@ -1216,6 +1221,37 @@ object SparkEntry {
     // shingle set broadcasts; the train corpus dedupes its shingles
     // row-locally (array_distinct, no pre-shuffle) and the per-doc hit
     // count partial-aggregates in place after the broadcast semi-join.
+    // FUZZY benchmark decontamination (the near-dup layer the big-model
+    // reports run on top of exact n-gram decontam — q61 catches verbatim
+    // leakage, this catches paraphrased/trimmed copies of held-out
+    // documents): q18's shared MinHash band derivation over the WHOLE
+    // corpus, pairs filtered to cross-split (train b<8 vs test b==9)
+    // by deriving each endpoint's split from its id ALONE (no doc
+    // join — the split is a pure id hash), rolled up per train doc
+    // with the count and smallest contaminating test doc. Band
+    // candidates are flagged WITHOUT an exact-similarity verify: for
+    // decontamination the conservative direction is to over-flag (q78
+    // scores the candidate set's recall/precision against exact truth).
+    // Scale shape = q18's: one band equi-join, no new corpus pass.
+    "q85_fuzzy_decontam" -> ((s, dir) => {
+      val pairs = minhashBandPairs(t(s, dir, "documents"))
+        .withColumn("b1", splitBucketOf(col("id1")))
+        .withColumn("b2", splitBucketOf(col("id2")))
+      // single-pass orientation (a union of two filtered branches would
+      // re-evaluate the entire band-join pipeline once per branch —
+      // measured 4 corpus scans instead of 1)
+      val cross = pairs
+        .filter((col("b1") < 8 && col("b2") === 9) ||
+          (col("b1") === 9 && col("b2") < 8))
+        .select(
+          when(col("b1") < 8, col("id1")).otherwise(col("id2")).as("train_doc"),
+          when(col("b1") < 8, col("id2")).otherwise(col("id1")).as("test_doc"))
+      cross.groupBy(col("train_doc"))
+        .agg(count(lit(1)).as("n_test_neardups"),
+          min(col("test_doc")).as("min_test_doc"))
+        .orderBy(col("train_doc"))
+    }),
+
     "q61_decontam" -> ((s, dir) => {
       val docs = t(s, dir, "documents").withColumn("b", splitBucket)
       val testSh = docs.filter(col("b") === 9)
@@ -2971,6 +3007,23 @@ object SparkEntry {
         |  CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS tokens,
         |  CAST(sum(length(text)) AS BIGINT) AS chars
         |FROM s GROUP BY 1, 2 ORDER BY split, lang""".stripMargin,
+    "q85_fuzzy_decontam" ->
+      s"""WITH ${minhashPairsCte("documents")},
+        |pb AS (
+        |  SELECT id1, id2,
+        |    ('0x' || substr(md5('split:' || CAST(id1 AS VARCHAR)), 1, 4))::BIGINT
+        |      % 10 AS b1,
+        |    ('0x' || substr(md5('split:' || CAST(id2 AS VARCHAR)), 1, 4))::BIGINT
+        |      % 10 AS b2
+        |  FROM mh_pairs),
+        |cross_hits AS (
+        |  SELECT CASE WHEN b1 < 8 THEN id1 ELSE id2 END AS train_doc,
+        |         CASE WHEN b1 < 8 THEN id2 ELSE id1 END AS test_doc
+        |  FROM pb
+        |  WHERE (b1 < 8 AND b2 = 9) OR (b1 = 9 AND b2 < 8))
+        |SELECT train_doc, CAST(count(*) AS BIGINT) AS n_test_neardups,
+        |  min(test_doc) AS min_test_doc
+        |FROM cross_hits GROUP BY train_doc ORDER BY train_doc""".stripMargin,
     "q61_decontam" ->
       s"""WITH s AS (
         |  SELECT doc_id, text,

@@ -77,6 +77,26 @@ class DedupSpec extends AnyFunSuite {
     assert(nCand > nHit, s"probe cost not visible: $nCand vs $nHit")
   }
 
+  test("q85 fuzzy decontam: flags cross-split near-dups only, splits derived from ids") {
+    val rows = SparkEntry.queries("q85_fuzzy_decontam")(spark, "/root/testdata/sf0.001")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(rows.nonEmpty, "degenerate corpus: no cross-split near-dup leakage")
+    def bucket(id: Long): Long = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+        .digest(s"split:$id".getBytes("UTF-8"))
+      (java.lang.Long.parseLong(f"${md(0)}%02x${md(1)}%02x", 16)) % 10
+    }
+    rows.foreach { case (train, n, minTest) =>
+      assert(bucket(train) < 8, s"flagged doc $train is not in the train split")
+      assert(bucket(minTest) == 9, s"contaminator $minTest is not a test doc")
+      assert(n >= 1)
+    }
+    // the flagged set must be a strict subset of the train split — a
+    // broken filter that flags everything would still pass the per-row
+    // checks above
+    assert(rows.length < 400, s"implausibly many contaminated docs: ${rows.length}")
+  }
+
   test("labels strategies: min-url representative, strict-dups-only, stable under url re-crawls") {
     import spark.implicits._
     // three near-identical docs (one token changed per hop), one distant

@@ -23,7 +23,8 @@ class DeterminismSpec extends AnyFunSuite {
     "q73_gate_funnel", "q74_oov_rate", "q75_asof_join",
     "q76_bpe_merges", "q77_dsir_select", "q78_lsh_dedup_recall",
     "q79_bpe_apply", "q80_cosine_recall", "q81_simhash_recall",
-    "q82_semdedup_recall", "q83_tfidf_terms", "q84_quality_deciles")
+    "q82_semdedup_recall", "q83_tfidf_terms", "q84_quality_deciles",
+    "q85_fuzzy_decontam")
 
   private def snapshot(name: String): Seq[String] =
     SparkEntry.queries(name)(spark, sf).collect().map(_.toString).toSeq

@@ -333,6 +333,17 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(p.contains("partial_"), s"bucket stats lost map-side combine:\n$p")
   }
 
+  test("fuzzy decontam stays q18's band equi-join: no doc re-join for the split, no products") {
+    val p = plan(SparkEntry.queries("q85_fuzzy_decontam")(spark, sf))
+    assert(!p.contains("CartesianProduct"), s"decontam degenerated to cartesian:\n$p")
+    // the split comes from the pair ids alone, so the ONLY corpus reads
+    // are the band join's two branches (deduped at runtime by the
+    // ReusedExchange the q18 audit pins on execution); a third scan
+    // would mean the split was joined back against the corpus
+    val scans = "Scan parquet".r.findAllIn(p).length
+    assert(scans <= 2, s"split re-joined the corpus ($scans scans):\n$p")
+  }
+
   test("tf-idf report combines map-side; downstream stays vocabulary-sized, no products") {
     val p = plan(SparkEntry.queries("q83_tfidf_terms")(spark, sf))
     assert(p.contains("partial_"), s"(source, token) agg lost map-side combine:\n$p")

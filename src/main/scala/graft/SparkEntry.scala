@@ -1221,37 +1221,6 @@ object SparkEntry {
     // shingle set broadcasts; the train corpus dedupes its shingles
     // row-locally (array_distinct, no pre-shuffle) and the per-doc hit
     // count partial-aggregates in place after the broadcast semi-join.
-    // FUZZY benchmark decontamination (the near-dup layer the big-model
-    // reports run on top of exact n-gram decontam — q61 catches verbatim
-    // leakage, this catches paraphrased/trimmed copies of held-out
-    // documents): q18's shared MinHash band derivation over the WHOLE
-    // corpus, pairs filtered to cross-split (train b<8 vs test b==9)
-    // by deriving each endpoint's split from its id ALONE (no doc
-    // join — the split is a pure id hash), rolled up per train doc
-    // with the count and smallest contaminating test doc. Band
-    // candidates are flagged WITHOUT an exact-similarity verify: for
-    // decontamination the conservative direction is to over-flag (q78
-    // scores the candidate set's recall/precision against exact truth).
-    // Scale shape = q18's: one band equi-join, no new corpus pass.
-    "q85_fuzzy_decontam" -> ((s, dir) => {
-      val pairs = minhashBandPairs(t(s, dir, "documents"))
-        .withColumn("b1", splitBucketOf(col("id1")))
-        .withColumn("b2", splitBucketOf(col("id2")))
-      // single-pass orientation (a union of two filtered branches would
-      // re-evaluate the entire band-join pipeline once per branch —
-      // measured 4 corpus scans instead of 1)
-      val cross = pairs
-        .filter((col("b1") < 8 && col("b2") === 9) ||
-          (col("b1") === 9 && col("b2") < 8))
-        .select(
-          when(col("b1") < 8, col("id1")).otherwise(col("id2")).as("train_doc"),
-          when(col("b1") < 8, col("id2")).otherwise(col("id1")).as("test_doc"))
-      cross.groupBy(col("train_doc"))
-        .agg(count(lit(1)).as("n_test_neardups"),
-          min(col("test_doc")).as("min_test_doc"))
-        .orderBy(col("train_doc"))
-    }),
-
     "q61_decontam" -> ((s, dir) => {
       val docs = t(s, dir, "documents").withColumn("b", splitBucket)
       val testSh = docs.filter(col("b") === 9)
@@ -1261,6 +1230,41 @@ object SparkEntry {
         .join(broadcast(testSh), Seq("sh"))
         .groupBy(col("doc_id")).agg(count(lit(1)).as("n_hit"))
         .orderBy(col("doc_id"))
+    }),
+
+    // FUZZY benchmark decontamination (the near-dup layer big-model
+    // reports run on top of exact shingle decontam — q61 catches
+    // verbatim leakage, this catches paraphrased/trimmed copies of
+    // held-out documents): a BIPARTITE MinHash band join — train-side
+    // band keys (b<8) against BROADCAST test-side band keys (b==9),
+    // splits derived from the doc id hash alone. Deliberately
+    // UNGUARDED, unlike the q18 self-join: for decontamination the
+    // contract is over-flag, and a df guard would silently UNflag
+    // exactly the heaviest leakage (a benchmark doc paraphrased >128
+    // times saturates its bands); the bipartite shape doesn't need the
+    // guard for scale either — per-band fan-out is bounded by the
+    // BENCHMARK's docs in that band, so worst case is linear in the
+    // corpus, never quadratic. Two scans by design: the corpus (train
+    // side) and the benchmark side (a separate small table in a real
+    // deployment; here a filter of the same fixture corpus).
+    "q85_fuzzy_decontam" -> ((s, dir) => {
+      def md5s(c: Column): Column = md5(to_binary(c, lit("utf-8")))
+      def bandedSide(lo: Int, hi: Int, idName: String): DataFrame =
+        withMinhashSig(t(s, dir, "documents")
+          .withColumn("b", splitBucket).filter(col("b") >= lo && col("b") <= hi)
+          .select(col("doc_id"), col("text")))
+          .select(col("doc_id").as(idName), posexplode(array(
+            md5s(concat(col("h0"), col("h1"))), md5s(concat(col("h2"), col("h3"))),
+            md5s(concat(col("h4"), col("h5"))), md5s(concat(col("h6"), col("h7")))
+          ))).toDF(idName, "band", "key")
+      val trainB = bandedSide(0, 7, "train_doc")
+      val testB = bandedSide(9, 9, "test_doc")
+      trainB.join(broadcast(testB), Seq("band", "key"))
+        .select(col("train_doc"), col("test_doc")).distinct()
+        .groupBy(col("train_doc"))
+        .agg(count(lit(1)).as("n_test_neardups"),
+          min(col("test_doc")).as("min_test_doc"))
+        .orderBy(col("train_doc"))
     }),
 
     // gate funnel report (the curation observability dashboard): how many
@@ -3007,20 +3011,20 @@ object SparkEntry {
         |  CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS tokens,
         |  CAST(sum(length(text)) AS BIGINT) AS chars
         |FROM s GROUP BY 1, 2 ORDER BY split, lang""".stripMargin,
+    // oracle on the shared band chain's UNGUARDED banded0 (the df-guarded
+    // `banded` is q18's self-join protection; the bipartite decontam
+    // deliberately skips it — see the query comment)
     "q85_fuzzy_decontam" ->
-      s"""WITH ${minhashPairsCte("documents")},
-        |pb AS (
-        |  SELECT id1, id2,
-        |    ('0x' || substr(md5('split:' || CAST(id1 AS VARCHAR)), 1, 4))::BIGINT
-        |      % 10 AS b1,
-        |    ('0x' || substr(md5('split:' || CAST(id2 AS VARCHAR)), 1, 4))::BIGINT
-        |      % 10 AS b2
-        |  FROM mh_pairs),
+      s"""WITH ${minhashBandedCte("documents")},
+        |tb AS (
+        |  SELECT doc_id, band, key,
+        |    ('0x' || substr(md5('split:' || CAST(doc_id AS VARCHAR)), 1, 4))::BIGINT
+        |      % 10 AS b
+        |  FROM banded0),
         |cross_hits AS (
-        |  SELECT CASE WHEN b1 < 8 THEN id1 ELSE id2 END AS train_doc,
-        |         CASE WHEN b1 < 8 THEN id2 ELSE id1 END AS test_doc
-        |  FROM pb
-        |  WHERE (b1 < 8 AND b2 = 9) OR (b1 = 9 AND b2 < 8))
+        |  SELECT DISTINCT tr.doc_id AS train_doc, te.doc_id AS test_doc
+        |  FROM tb tr JOIN tb te ON tr.band = te.band AND tr.key = te.key
+        |  WHERE tr.b < 8 AND te.b = 9)
         |SELECT train_doc, CAST(count(*) AS BIGINT) AS n_test_neardups,
         |  min(test_doc) AS min_test_doc
         |FROM cross_hits GROUP BY train_doc ORDER BY train_doc""".stripMargin,

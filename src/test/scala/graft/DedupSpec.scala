@@ -86,15 +86,30 @@ class DedupSpec extends AnyFunSuite {
         .digest(s"split:$id".getBytes("UTF-8"))
       (java.lang.Long.parseLong(f"${md(0)}%02x${md(1)}%02x", 16)) % 10
     }
-    rows.foreach { case (train, n, minTest) =>
+    rows.foreach { case (train, _, minTest) =>
       assert(bucket(train) < 8, s"flagged doc $train is not in the train split")
       assert(bucket(minTest) == 9, s"contaminator $minTest is not a test doc")
-      assert(n >= 1)
     }
     // the flagged set must be a strict subset of the train split — a
     // broken filter that flags everything would still pass the per-row
     // checks above
     assert(rows.length < 400, s"implausibly many contaminated docs: ${rows.length}")
+    // over-flag contract vs the GUARDED q18 self-join: every cross-split
+    // q18 pair must be covered by the unguarded bipartite join — q85 may
+    // flag MORE (pairs q18's df guard dropped), never fewer
+    val q18Cross = SparkEntry.queries("q18_minhash_lsh")(spark, "/root/testdata/sf0.001")
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+      .flatMap { case (a, b) =>
+        if (bucket(a) < 8 && bucket(b) == 9) Some(a -> b)
+        else if (bucket(b) < 8 && bucket(a) == 9) Some(b -> a)
+        else None
+      }
+    val flaggedTotal = rows.map(_._2).sum
+    assert(q18Cross.nonEmpty, "fixture premise: q18 finds no cross-split pair")
+    assert(q18Cross.map(_._1).toSet.subsetOf(rows.map(_._1).toSet),
+      "a guarded-join contamination escaped the unguarded bipartite join")
+    assert(flaggedTotal >= q18Cross.length,
+      s"q85 flagged fewer pairs ($flaggedTotal) than the guarded join (${q18Cross.length})")
   }
 
   test("labels strategies: min-url representative, strict-dups-only, stable under url re-crawls") {

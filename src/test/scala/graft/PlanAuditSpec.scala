@@ -333,13 +333,15 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(p.contains("partial_"), s"bucket stats lost map-side combine:\n$p")
   }
 
-  test("fuzzy decontam stays q18's band equi-join: no doc re-join for the split, no products") {
+  test("fuzzy decontam: benchmark band keys broadcast, corpus side never shuffles") {
     val p = plan(SparkEntry.queries("q85_fuzzy_decontam")(spark, sf))
     assert(!p.contains("CartesianProduct"), s"decontam degenerated to cartesian:\n$p")
-    // the split comes from the pair ids alone, so the ONLY corpus reads
-    // are the band join's two branches (deduped at runtime by the
-    // ReusedExchange the q18 audit pins on execution); a third scan
-    // would mean the split was joined back against the corpus
+    // the bipartite join must broadcast the (bounded) benchmark side —
+    // a shuffle join would move the whole corpus's band keys
+    assert(p.contains("BroadcastHashJoin"), s"benchmark side not broadcast:\n$p")
+    assert(!p.contains("SortMergeJoin"), s"corpus band keys shuffled:\n$p")
+    // exactly two scans by design: the corpus (train side) and the
+    // benchmark side; a third would mean a split re-join
     val scans = "Scan parquet".r.findAllIn(p).length
     assert(scans <= 2, s"split re-joined the corpus ($scans scans):\n$p")
   }

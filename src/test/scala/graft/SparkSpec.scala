@@ -154,4 +154,16 @@ class KAryAlignSpec extends AnyFunSuite {
       s"expected one shuffle key, got $keys:\n$p")
     assert(keys.size <= k3.length, s"more exchanges than union branches: $keys")
   }
+
+  test("driver contract: every query has an oracle and every oracle has a query") {
+    // a queries entry without oracleSql silently downgrades the driver's
+    // gate to a rows-only check; an orphaned oracle would make the
+    // driver compare against a missing dump — pin the keysets equal so
+    // neither drift can land
+    val q = SparkEntry.queries.keySet
+    val o = SparkEntry.oracleSql.keySet
+    assert(q == o,
+      s"queries-without-oracle: ${(q -- o).toSeq.sorted}; " +
+        s"oracles-without-query: ${(o -- q).toSeq.sorted}")
+  }
 }

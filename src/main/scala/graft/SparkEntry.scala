@@ -17,6 +17,47 @@ object SparkEntry {
   private def t(s: SparkSession, dir: String, name: String): DataFrame =
     s.read.parquet(s"$dir/$name.parquet")
 
+  /** Table bytes on disk, memoized per (dir, table) — metadata only, no
+    * job (same lifecycle note as [[cachedCount]]; sizes are stable within
+    * a session and a failure degrades to "no repartition", never to a
+    * wrong result).
+    */
+  private val tableSizes = new scala.collection.concurrent.TrieMap[String, Long]
+  private def tableBytes(s: SparkSession, dir: String, name: String): Long =
+    tableSizes.getOrElseUpdate(s"$dir/$name", {
+      val p = new org.apache.hadoop.fs.Path(s"$dir/$name.parquet")
+      try p.getFileSystem(s.sparkContext.hadoopConfiguration)
+        .getContentSummary(p).getLength
+      catch { case _: java.io.IOException => Long.MaxValue }
+    })
+
+  /** Scale-ADAPTIVE parallel scan for compute-heavy derivations (guide
+    * §2.5 "input skew — one huge unsplittable file", §6 input split
+    * size). A table whose on-disk bytes are below maxPartitionBytes x
+    * cores scans as FEWER SPLITS THAN THE CLUSTER HAS CORES (a
+    * single-file table scans as ONE task), which serializes every
+    * per-row kernel that runs before the first exchange — md5 shingle
+    * explodes, graft_minhash8 / graft_hashtf, array_sort repetition
+    * folds — on one core while the rest idle. Spreading the (tiny) rows
+    * round-robin first costs one sub-MB exchange and buys cores-way
+    * parallelism for the expensive projections. At production scale the
+    * predicate is false (the scan already yields >= cores splits of
+    * >= maxPartitionBytes) and the plan is UNCHANGED — nothing here is
+    * tuned to local[32]; both the threshold and the target count derive
+    * from the session. Filters/pruning still push through Repartition to
+    * the scan (PlanAuditSpec pins q51's n_chars gate), and round-robin
+    * assignment is deterministic (sortBeforeRepartition, SPARK-23207).
+    * Use for scans feeding expensive row-local work; plain `t` remains
+    * right when the first downstream op is already a shuffle or the
+    * per-row work is trivial (the exchange would buy nothing).
+    */
+  private def tp(s: SparkSession, dir: String, name: String): DataFrame = {
+    val df = t(s, dir, name)
+    val n = s.sparkContext.defaultParallelism
+    val maxSplit = s.sessionState.conf.filesMaxPartitionBytes
+    if (tableBytes(s, dir, name) < maxSplit * n.toLong) df.repartition(n) else df
+  }
+
   /** Table row count memoized per (dir, table, mtime): the count job is
     * parquet-metadata-only, but repeated invocations (q40 sizes its IVF
     * quantizer from it) shouldn't re-run even a metadata job per call
@@ -92,7 +133,7 @@ object SparkEntry {
     * merge report).
     */
   private[graft] def bpeVocab(s: SparkSession, dir: String): DataFrame =
-    t(s, dir, "documents")
+    tp(s, dir, "documents")
       .select(explode(split(col("text"), " ")).as("w"))
       .filter(col("w").rlike("^[a-z]+$"))
       .groupBy(col("w")).agg(count(lit(1)).as("cnt"))
@@ -331,7 +372,7 @@ object SparkEntry {
     */
   private[graft] def survivorsForProf(s: SparkSession, dir: String): DataFrame = {
     val awl = avgWordLenCol
-    val surv0 = t(s, dir, "documents")
+    val surv0 = tp(s, dir, "documents")
       .filter(col("n_chars") >= 100 && awl.between(4.0, 8.0))
       .select(col("doc_id"), col("source"), col("text"))
     val slim = withMinhashSig(withFingerprintLanes(surv0))
@@ -817,7 +858,7 @@ object SparkEntry {
     // label set difference (setdiff1d, ocropy/common.py:1107-1110):
     // shingles unique to the held-out doc subset
     "q08_set_except" -> ((s, dir) => {
-      val sh = t(s, dir, "documents").select(col("doc_id"),
+      val sh = tp(s, dir, "documents").select(col("doc_id"),
         explode(expr(
           "transform(sequence(1, greatest(length(text) - 11, 1), 7), i -> substring(text, i, 12))"
         )).as("sh"))
@@ -915,7 +956,7 @@ object SparkEntry {
     // round-2 guard was a single ~2^30 lane, which the pigeonhole breaks
     // at 10^12 docs)
     "q15_dedup_exact" -> ((s, dir) => {
-      withFingerprintLanes(t(s, dir, "documents"))
+      withFingerprintLanes(tp(s, dir, "documents"))
         .groupBy(col("fp1"), col("fp2"))
         .agg(min(col("doc_id")).as("keeper"), count(lit(1)).as("n_dups"))
         .filter(col("n_dups") >= 1)
@@ -931,7 +972,7 @@ object SparkEntry {
     // still counted over ALL shingles, so the guard only ever lowers a
     // pair's Jaccard (conservative), and is mirrored in the oracle.
     "q16_shingle_jaccard" -> ((s, dir) =>
-      exactJaccardPairs(t(s, dir, "documents")).orderBy(col("id1"), col("id2"))),
+      exactJaccardPairs(tp(s, dir, "documents")).orderBy(col("id1"), col("id2"))),
 
     // MinHash + LSH near-dup (shingle -> minhash -> band -> bucket-join).
     // H=8 md5 min-hashes as conditional min aggregates (map-side
@@ -939,7 +980,7 @@ object SparkEntry {
     // docs sharing any band key. The band join is the linear-scale path:
     // at 10^12 rows it replaces the O(n^2) shingle self-join of q16.
     "q18_minhash_lsh" -> ((s, dir) =>
-      minhashBandPairs(t(s, dir, "documents")).orderBy(col("id1"), col("id2"))),
+      minhashBandPairs(tp(s, dir, "documents")).orderBy(col("id1"), col("id2"))),
 
     // dedup index-quality gate (q65's analog for the near-dup path): the
     // eval a pipeline runs BEFORE trusting the LSH scale path — recall of
@@ -954,7 +995,7 @@ object SparkEntry {
     // to ONE row. Truth is exact-on-the-tested-corpus; at 100 TB you run
     // the same gate on a stratified sample (q58) — the queries compose.
     "q78_lsh_dedup_recall" -> ((s, dir) => {
-      val docs = t(s, dir, "documents")
+      val docs = tp(s, dir, "documents")
       val cand = minhashBandPairs(docs)
       exactJaccardPairs(docs)
         .join(cand.withColumn("hit", lit(true)), Seq("id1", "id2"), "left")
@@ -973,7 +1014,7 @@ object SparkEntry {
     // algorithm shape.
     "q50_dedup_clusters" -> ((s, dir) => {
       val verts = t(s, dir, "documents").select(col("doc_id").as("id"))
-      val edges = minhashBandPairs(t(s, dir, "documents"))
+      val edges = minhashBandPairs(tp(s, dir, "documents"))
         .select(col("id1").as("src"), col("id2").as("dst"))
       graft.operators.Dedup.connectedComponents(verts, edges,
           edgesDistinct = true)
@@ -987,7 +1028,7 @@ object SparkEntry {
     // except one hash-agg on doc_id (map-side partials).
     "q19_simhash" -> ((s, dir) => {
       def md5s(c: Column): Column = md5(to_binary(c, lit("utf-8")))
-      val hashed = t(s, dir, "documents")
+      val hashed = tp(s, dir, "documents")
         .select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
         .filter(length(col("tok")) > 0)
         .select(col("doc_id"), md5s(col("tok")).as("h"))
@@ -1139,7 +1180,7 @@ object SparkEntry {
     // content-defined, shift-robust fingerprints.
     "q22_fingerprint" -> ((s, dir) => {
       def md5s(c: Column): Column = md5(to_binary(c, lit("utf-8")))
-      t(s, dir, "documents").select(col("doc_id"),
+      tp(s, dir, "documents").select(col("doc_id"),
         explode(expr(
           "transform(sequence(1, greatest(length(text) - 7, 1)), i -> substring(text, i, 8))"
         )).as("g"))
@@ -1182,7 +1223,7 @@ object SparkEntry {
     // shuffles its parts need (decontam per-doc count, dedup window,
     // final partial agg) and the report is split-sized.
     "q62_curation_pipeline" -> ((s, dir) => {
-      val docs = t(s, dir, "documents").withColumn("b", splitBucket)
+      val docs = tp(s, dir, "documents").withColumn("b", splitBucket)
         .withColumn("split", splitName)
       val quality = withRepetitionStats(docs).filter(col("keep"))
       val contaminated = contaminatedTrainDocs(docs)
@@ -1204,7 +1245,7 @@ object SparkEntry {
     // Map-side-combinable: one partial-agg shuffle of ≤ |splits|×|langs|
     // rows per partition regardless of corpus size.
     "q56_split_mix" -> ((s, dir) => {
-      t(s, dir, "documents")
+      tp(s, dir, "documents")
         .withColumn("b", splitBucket)
         .withColumn("split", splitName)
         .groupBy(col("split"), col("lang"))
@@ -1222,7 +1263,7 @@ object SparkEntry {
     // row-locally (array_distinct, no pre-shuffle) and the per-doc hit
     // count partial-aggregates in place after the broadcast semi-join.
     "q61_decontam" -> ((s, dir) => {
-      val docs = t(s, dir, "documents").withColumn("b", splitBucket)
+      val docs = tp(s, dir, "documents").withColumn("b", splitBucket)
       val testSh = docs.filter(col("b") === 9)
         .select(explode(array_distinct(shingle24)).as("sh")).distinct()
       docs.filter(col("b") < 8)
@@ -1250,7 +1291,7 @@ object SparkEntry {
     "q85_fuzzy_decontam" -> ((s, dir) => {
       def md5s(c: Column): Column = md5(to_binary(c, lit("utf-8")))
       def bandedSide(lo: Int, hi: Int, idName: String): DataFrame =
-        withMinhashSig(t(s, dir, "documents")
+        withMinhashSig(tp(s, dir, "documents")
           .withColumn("b", splitBucket).filter(col("b") >= lo && col("b") <= hi)
           .select(col("doc_id"), col("text")))
           .select(col("doc_id").as(idName), posexplode(array(
@@ -1277,7 +1318,7 @@ object SparkEntry {
     // shuffles are the decontam doc_id join and the dedup hash window —
     // the same ones q62's production chain pays.
     "q73_gate_funnel" -> ((s, dir) => {
-      val docs = t(s, dir, "documents").withColumn("b", splitBucket)
+      val docs = tp(s, dir, "documents").withColumn("b", splitBucket)
       val contaminated = contaminatedTrainDocs(docs).withColumn("contam", lit(true))
       val flagged = withRepetitionStats(docs)
         .withColumn("h", md5(to_binary(col("text"), lit("utf-8"))))
@@ -1354,7 +1395,7 @@ object SparkEntry {
     // shuffles before the broadcast join; the report partial-aggregates
     // to |splits|x|langs| rows.
     "q74_oov_rate" -> ((s, dir) => {
-      val docs = t(s, dir, "documents").withColumn("b", splitBucket)
+      val docs = tp(s, dir, "documents").withColumn("b", splitBucket)
         .withColumn("split", splitName)
         .withColumn("aug", concat(col("text"),
           when(col("doc_id") % 10 === 0,
@@ -1418,7 +1459,7 @@ object SparkEntry {
       val costs = merged.select(col("w"),
         length(col("w")).cast("long").as("n_before"),
         size(split(trim(col("sym")), " ")).cast("long").as("n_after"))
-      val report = t(s, dir, "documents")
+      val report = tp(s, dir, "documents")
         .select(col("lang"), explode(split(col("text"), " ")).as("w"))
         .filter(col("w").rlike("^[a-z]+$"))
         .join(broadcast(costs), Seq("w"))
@@ -1452,7 +1493,7 @@ object SparkEntry {
     // reduces map-side to 64 bucket rows; pass 2 is a narrow map +
     // broadcast join + per-doc agg — no all-pairs, no wide shuffle.
     "q77_dsir_select" -> ((s, dir) => {
-      val aug = t(s, dir, "documents")
+      val aug = tp(s, dir, "documents")
         .select(col("doc_id"), (col("doc_id") % 4).as("grp"),
           concat(col("text"), when(col("doc_id") % 4 < 2, lit(" alpha" * 8))
             .otherwise(lit(" beta" * 8))).as("aug"),
@@ -1620,7 +1661,7 @@ object SparkEntry {
     // (no floating log anywhere — hash-exact in any engine). Map-side
     // combinable partial agg; report is |langs|x|buckets| rows.
     "q72_length_hist" -> ((s, dir) => {
-      t(s, dir, "documents")
+      tp(s, dir, "documents")
         .select(col("lang"),
           size(split(col("text"), " ")).cast("long").as("n_tokens"))
         .withColumn("bucket", (length(bin(col("n_tokens"))) - 1).cast("long"))
@@ -1639,7 +1680,7 @@ object SparkEntry {
     // Scale shape: one map-side-combinable (source, token) shuffle,
     // then everything downstream is vocabulary-sized.
     "q83_tfidf_terms" -> ((s, dir) => {
-      val tf = t(s, dir, "documents")
+      val tf = tp(s, dir, "documents")
         .select(col("source"), explode(split(col("text"), " ")).as("tok"))
         .filter(length(col("tok")) >= 4)
         .groupBy(col("source"), col("tok")).agg(count(lit(1)).as("tf"))
@@ -1735,7 +1776,7 @@ object SparkEntry {
     // reassembly — both linear in corpus size, no all-pairs stage; the
     // per-chunk window state is a single row_number counter.
     "q64_chunk_dedup" -> ((s, dir) => {
-      chunkKeepFlags(t(s, dir, "documents"))
+      chunkKeepFlags(tp(s, dir, "documents"))
         .groupBy(col("doc_id"))
         .agg(count(lit(1)).as("n_chunks"),
           count(when(col("keep"), 1)).as("n_kept"),
@@ -1826,7 +1867,7 @@ object SparkEntry {
     "q67_incremental_neardup" -> ((s, dir) => {
       def md5s(c: Column): Column = md5(to_binary(c, lit("utf-8")))
       val sig = withMinhashSig(
-        t(s, dir, "documents").select(col("doc_id"), col("text"))).drop("text")
+        tp(s, dir, "documents").select(col("doc_id"), col("text"))).drop("text")
       val banded0 = sig.select(col("doc_id"), posexplode(array(
         md5s(concat(col("h0"), col("h1"))), md5s(concat(col("h2"), col("h3"))),
         md5s(concat(col("h4"), col("h5"))), md5s(concat(col("h6"), col("h7")))
@@ -1875,7 +1916,7 @@ object SparkEntry {
     // word-recall membership counting (div/eval.py:183-205): distinct
     // GT tokens found in the prediction token set
     "q30_word_recall" -> ((s, dir) => {
-      t(s, dir, "documents").select(col("doc_id"),
+      tp(s, dir, "documents").select(col("doc_id"),
         explode(split(substring(col("text"), 1, 200), " ")).as("tok"),
         split(substring(col("text"), 201, 100000), " ").as("pred"))
         .filter(length(col("tok")) > 2 && array_contains(col("pred"), col("tok")))
@@ -1890,7 +1931,7 @@ object SparkEntry {
     "q33_trigram_freq" -> ((s, dir) => {
       val triArr =
         "transform(sequence(1, greatest(length(text) - 2, 1)), i -> substring(text, i, 3))"
-      val freq = t(s, dir, "documents")
+      val freq = tp(s, dir, "documents")
         .select(explode(expr(triArr)).as("g"))
         .groupBy(col("g")).agg(count(lit(1)).as("f"))
       // min/max over a doc's trigram SET equals over its multiset, so the
@@ -1898,7 +1939,7 @@ object SparkEntry {
       // no (doc_id, g) distinct shuffle at all; the exploded rows stay
       // doc-contiguous, so the per-doc min/max partial-aggregates to one
       // row per doc before its shuffle
-      t(s, dir, "documents")
+      tp(s, dir, "documents")
         .select(col("doc_id"), explode(array_distinct(expr(triArr))).as("g"))
         .join(broadcast(freq), Seq("g"))
         .groupBy(col("doc_id"))
@@ -1915,7 +1956,7 @@ object SparkEntry {
     // sized and broadcast, the probe side never shuffles before the
     // per-doc partial agg (explode preserves row locality).
     "q60_lm_quality" -> ((s, dir) => {
-      val tri = t(s, dir, "documents")
+      val tri = tp(s, dir, "documents")
         .select(col("doc_id"), splitBucket.as("b"),
           explode(expr(
             "transform(sequence(1, greatest(length(text) - 2, 1)), i -> substring(text, i, 3))"
@@ -1933,7 +1974,7 @@ object SparkEntry {
     // positional join (align/cli.py:63-79 role): i-th token of variant A vs
     // i-th token of variant B, joined on (doc_id, pos)
     "q34_pos_join" -> ((s, dir) => {
-      val docs = t(s, dir, "documents")
+      val docs = tp(s, dir, "documents")
       val a = docs.select(col("doc_id"),
         posexplode(split(col("text"), " "))).toDF("doc_id", "pos", "tok_a")
       val b = docs.select(col("doc_id"),
@@ -2294,7 +2335,7 @@ object SparkEntry {
   private def tfEmbeddings(s: SparkSession, dir: String): DataFrame = {
     graft.functions.CosineSim.register(s)
     graft.functions.HashTf.register(s)
-    t(s, dir, "documents").select(col("doc_id"),
+    tp(s, dir, "documents").select(col("doc_id"),
       expr("graft_hashtf(split(text, ' '))").as("v"))
       .withColumn("m", expr("aggregate(v, 0d, (a, x) -> a + x) / 64"))
   }
@@ -2334,7 +2375,7 @@ object SparkEntry {
     * agg), one row (doc_id, sh) per document.
     */
   private def simhashSigs(s: SparkSession, dir: String): DataFrame = {
-    val hashed = t(s, dir, "documents")
+    val hashed = tp(s, dir, "documents")
       .select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
       .filter(length(col("tok")) > 0)
       .select(col("doc_id"), md5(to_binary(col("tok"), lit("utf-8"))).as("h"))

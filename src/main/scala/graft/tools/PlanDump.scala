@@ -1,0 +1,31 @@
+package graft.tools
+
+/** Dump `.explain("formatted")` for named SparkEntry queries to files —
+  * the plans/r06 before/after evidence trail. Not part of the bench
+  * contract (Bench.scala is frozen); measurement stays in Bench/ReTime.
+  *
+  * Usage: runMain graft.tools.PlanDump <outDir> <suffix> q33_trigram_freq ...
+  *        (no query args = all queries)
+  */
+object PlanDump {
+  def main(args: Array[String]): Unit = {
+    val outDir = args(0)
+    val suffix = args(1)
+    val names =
+      if (args.length > 2) args.drop(2).toSeq
+      else graft.SparkEntry.queries.keys.toSeq.sorted
+    val spark = graft.SparkBoot.session(sys.env.getOrElse("SPARK_GRAFT_CPUS", "32"))
+    val dir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(outDir))
+    names.foreach { n =>
+      val df = graft.SparkEntry.queries(n)(spark, dir)
+      val plan = df.queryExecution.explainString(
+        org.apache.spark.sql.execution.FormattedMode)
+      java.nio.file.Files.write(
+        java.nio.file.Paths.get(outDir, s"${n}_$suffix.txt"),
+        plan.getBytes("UTF-8"))
+      println(s"[plandump] $n -> $outDir/${n}_$suffix.txt")
+    }
+    spark.stop()
+  }
+}

@@ -104,23 +104,43 @@ object SparkEntry {
     * once per guard branch.
     */
   private def exactJaccardPairs(docs: DataFrame): DataFrame = {
+    // per-(doc, shingle) dedup is ROW-LOCAL (array_distinct before the
+    // explode): with doc_id in every row, distinct-per-doc == global
+    // distinct, so the corpus-wide (doc_id, sh) distinct Exchange the
+    // explode().distinct() spelling paid is pure waste — one full
+    // shuffle of every shingle removed (guide §2.4), and the exploded
+    // rows stay doc-contiguous so the sz count partial-aggregates
+    // before its shuffle
     val shingles = docs.select(col("doc_id"),
-      explode(expr(
+      explode(array_distinct(expr(
         "transform(sequence(1, greatest(length(text) - 11, 1), 7), i -> substring(text, i, 12))"
-      )).as("sh")).distinct()
+      ))).as("sh"))
     val sizes = shingles.groupBy(col("doc_id")).agg(count(lit(1)).as("sz"))
     val rare = shingles
       .withColumn("df", count(lit(1)).over(Window.partitionBy(col("sh"))))
       .filter(col("df") <= 64).drop("df")
     val a = rare.select(col("doc_id").as("id1"), col("sh"))
-    val b = rare.select(col("doc_id").as("id2"), col("sh"))
+    // the self-join's sides are the SAME corpus-sized frame — broadcast
+    // can never fire at production scale, but left to the planner the
+    // tiny-sf build side DID broadcast, which re-evaluated the whole
+    // shingle+window subtree per side (4 scans in the plan). Pinning
+    // sort-merge makes both sides reuse ONE Exchange(sh) (ReusedExchange
+    // — the q18 pattern), and the df-guard Window's (sh) sort already
+    // satisfies SMJ's ordering, so the join adds no exchange and no sort
+    // at any scale.
+    val b = rare.select(col("doc_id").as("id2"), col("sh")).hint("merge")
     val common = a.join(b, Seq("sh")).filter(col("id1") < col("id2"))
       .groupBy(col("id1"), col("id2")).agg(count(lit(1)).as("common"))
+    // alias-style size joins (no rename Project above the aggregate):
+    // the two sizes subtrees canonicalize identically, so the second
+    // join's build reuses the first's exchange instead of re-running
+    // the scan+explode+agg chain
     common
-      .join(sizes.withColumnRenamed("doc_id", "id1").withColumnRenamed("sz", "sz1"), Seq("id1"))
-      .join(sizes.withColumnRenamed("doc_id", "id2").withColumnRenamed("sz", "sz2"), Seq("id2"))
+      .join(sizes.as("s1"), col("id1") === col("s1.doc_id"))
+      .join(sizes.as("s2"), col("id2") === col("s2.doc_id"))
       .withColumn("jaccard",
-        col("common").cast("double") / (col("sz1") + col("sz2") - col("common")))
+        col("common").cast("double") /
+          (col("s1.sz") + col("s2.sz") - col("common")))
       .filter(col("jaccard") >= 0.5)
       .select(col("id1"), col("id2"))
   }
@@ -766,7 +786,10 @@ object SparkEntry {
       val inCell = assigned.withColumn("csz", count(lit(1)).over(wc))
         .filter(col("csz") <= 128).drop("csz")
       val a2 = inCell.select(col("cid"), col("doc_id").as("id1"), col("v").as("v1"))
+      // merge-pinned cell self-join (same rationale as the band joins):
+      // both sides reuse the cell-cap window's Exchange(cid) + sort
       val b2 = inCell.select(col("cid"), col("doc_id").as("id2"), col("v").as("v2"))
+        .hint("merge")
       val cand = a2.join(b2, Seq("cid")).filter(col("id1") < col("id2"))
       val hits = cand.filter(expr("graft_cosine(v1, v2)") >= 0.97)
         .select(col("id1"), col("id2"))
@@ -858,10 +881,14 @@ object SparkEntry {
     // label set difference (setdiff1d, ocropy/common.py:1107-1110):
     // shingles unique to the held-out doc subset
     "q08_set_except" -> ((s, dir) => {
+      // array_distinct dedupes (doc, shingle) row-locally BEFORE the
+      // explode, shrinking the rows entering each side's global distinct
+      // shuffle (guide §2.3 "shuffle fewer bytes"); the per-side result
+      // set is unchanged
       val sh = tp(s, dir, "documents").select(col("doc_id"),
-        explode(expr(
+        explode(array_distinct(expr(
           "transform(sequence(1, greatest(length(text) - 11, 1), 7), i -> substring(text, i, 12))"
-        )).as("sh"))
+        ))).as("sh"))
       val a = sh.filter(col("doc_id") % 10 === 0).select(col("sh")).distinct()
       val b = sh.filter(col("doc_id") % 10 =!= 0).select(col("sh")).distinct()
       a.except(b).orderBy(col("sh"))
@@ -1227,14 +1254,19 @@ object SparkEntry {
         .withColumn("split", splitName)
       val quality = withRepetitionStats(docs).filter(col("keep"))
       val contaminated = contaminatedTrainDocs(docs)
-      val w = Window.partitionBy(col("h")).orderBy(col("doc_id").asc)
+      // keeper pick as a map-side-combinable min_by hash-agg instead of
+      // the row_number sort-window (guide §2.3 "aggregate before you
+      // shuffle"): doc_id is unique so min_by is tie-free and picks the
+      // SAME keeper row per text hash, but partials fold per partition
+      // before the h exchange and the per-group sort disappears
       quality.join(contaminated, Seq("doc_id"), "left_anti")
         .withColumn("h", md5(to_binary(col("text"), lit("utf-8"))))
-        .withColumn("rk", row_number().over(w))
-        .filter(col("rk") === 1)
-        .groupBy(col("split"), col("lang"))
+        .groupBy(col("h"))
+        .agg(min_by(struct(col("split"), col("lang"), col("n_tokens")),
+          col("doc_id")).as("kp"))
+        .groupBy(col("kp.split").as("split"), col("kp.lang").as("lang"))
         .agg(count(lit(1)).as("docs"),
-          sum(col("n_tokens")).as("tokens"))
+          sum(col("kp.n_tokens")).as("tokens"))
         .orderBy(col("split"), col("lang"))
     }),
 
@@ -2357,8 +2389,13 @@ object SparkEntry {
       .filter(col("df") <= 128).drop("df")
     val a = banded.select(col("band"), col("key"),
       col("doc_id").as("id1"), col("v").as("v1"))
+    // merge-pinned self-join: same rationale as minhashBandPairs — both
+    // sides reuse the df-guard window's Exchange(band, key) + sort
+    // instead of the build side broadcasting and re-running the
+    // embedding+banding chain (broadcast could never fire at scale;
+    // both sides are the corpus)
     val b = banded.select(col("band"), col("key"),
-      col("doc_id").as("id2"), col("v").as("v2"))
+      col("doc_id").as("id2"), col("v").as("v2")).hint("merge")
     a.join(b, Seq("band", "key")).filter(col("id1") < col("id2"))
   }
 
@@ -2402,7 +2439,10 @@ object SparkEntry {
     val banded = banded0.withColumn("df", count(lit(1)).over(wDf))
       .filter(col("df") <= 128).drop("df")
     val a = banded.select(col("band"), col("key"), col("doc_id").as("id1"), col("sh").as("sh1"))
+    // merge-pinned self-join (same rationale as minhashBandPairs): both
+    // sides reuse the guard window's Exchange(band, key) + sort
     val b = banded.select(col("band"), col("key"), col("doc_id").as("id2"), col("sh").as("sh2"))
+      .hint("merge")
     a.join(b, Seq("band", "key")).filter(col("id1") < col("id2"))
   }
 

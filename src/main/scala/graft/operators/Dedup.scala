@@ -84,7 +84,15 @@ object Dedup {
     val banded = banded0.withColumn("df", count(lit(1)).over(wDf))
       .filter(col("df") <= dfGuard).drop("df")
     val a = banded.select(col("band"), col("key"), col(idCol).as("id1"))
+    // pin the self-join to sort-merge: both sides are the same
+    // corpus-sized banded frame (broadcast can never fire at production
+    // scale), and the hint makes the tiny-sf plan match the at-scale one
+    // — both sides reuse the ONE Exchange(band, key) the df-guard window
+    // already paid (ReusedExchange, PlanAuditSpec), whose sort also
+    // satisfies SMJ's ordering; left to the planner the small build side
+    // broadcast and re-evaluated the whole signature+window chain.
     val b = banded.select(col("band"), col("key"), col(idCol).as("id2"))
+      .hint("merge")
     a.join(b, Seq("band", "key")).filter(col("id1") < col("id2"))
       .select(col("id1"), col("id2")).distinct()
   }
@@ -153,7 +161,10 @@ object Dedup {
     val inCell = assigned.withColumn("csz", count(lit(1)).over(wc))
       .filter(col("csz") <= cellCap).drop("csz")
     val a = inCell.select(col("cid"), col("doc_id").as("src"), col("v").as("v1"))
+    // merge-pinned cell self-join: both sides reuse the cell-cap
+    // window's Exchange(cid) + sort (see minhashBandPairs)
     val b = inCell.select(col("cid"), col("doc_id").as("dst"), col("v").as("v2"))
+      .hint("merge")
     val pairs = a.join(b, Seq("cid")).filter(col("src") < col("dst"))
       .filter(expr("graft_cosine(v1, v2)") >= tau)
       .select(col("src"), col("dst"))
@@ -279,6 +290,12 @@ object Dedup {
     val sym = (if (edgesDistinct) sym0 else sym0.distinct()).persist()
     var labels = sym.select(col("src").as("id")).distinct()
       .withColumn("comp", col("id")).persist()
+    // the init aggregate doubles as the EAGER materialization of the
+    // persisted labels frame: round 1's plan then unions the cached
+    // relation instead of a self-referencing lineage (which trips
+    // Catalyst's Union constraint rewrite with a missing-attribute
+    // error), and the empty-graph case converges without entering the
+    // loop
     var prevSum = labels.agg(sum(col("comp").cast("decimal(38,0)"))).first().getDecimal(0)
     var round = 0
     var converged = prevSum == null // empty graph: nothing to propagate
@@ -332,7 +349,8 @@ object Dedup {
         checkpointFileOf(labels).foreach(deletePath(next, _))
       }
       labels = next
-      converged = s.compareTo(prevSum) == 0
+      converged = (s == null) ||
+        (prevSum != null && s.compareTo(prevSum) == 0)
       prevSum = s
       round += 1
     }

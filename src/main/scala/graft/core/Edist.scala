@@ -18,6 +18,11 @@ import scala.collection.mutable.ArrayBuffer
   */
 object Edist {
 
+  /** Precompiled gap splitter — String.split("~+") is not on the JDK
+    * single-char fast path, so it compiled a Pattern per confusion call.
+    */
+  private val TildePattern = java.util.regex.Pattern.compile("~+")
+
   /** Levenshtein distance (edist.py:6-19). Rolling single-array DP.
     * Equal strings short-circuit to 0 (trivially exact) — the common case
     * in the hot paths that compare support lines/tokens against a master
@@ -149,8 +154,8 @@ object Edist {
       bls.append(if (eroded(idx) == 0) bl.charAt(idx) else '~')
       idx += 1
     }
-    val ags = als.toString.split("~+", -1)
-    val bgs = bls.toString.split("~+", -1)
+    val ags = TildePattern.split(als, -1)
+    val bgs = TildePattern.split(bls, -1)
     ags.zip(bgs).filter { case (x, y) => x.nonEmpty || y.nonEmpty }.toSeq
   }
 }

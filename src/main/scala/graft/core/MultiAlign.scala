@@ -21,6 +21,14 @@ import scala.collection.mutable.ArrayBuffer
   */
 object MultiAlign {
 
+  /** Precompiled whitespace splitter: String.split("\\s+") recompiles
+    * the Pattern on EVERY call (only 1-char literals take the JDK fast
+    * path), and alignLineVersions splits once per (word, support) — a
+    * per-call compile in the hottest loop. Pattern.split is otherwise
+    * semantics-identical to String.split.
+    */
+  private val WsPattern = java.util.regex.Pattern.compile("\\s+")
+
   /** One word alignment: the master token and, per support extractor, the
     * list of its tokens aligned to that master token.
     */
@@ -127,7 +135,7 @@ object MultiAlign {
         val sb = new StringBuilder
         var i = ws
         while (i < we) { sb.append(buckets(i)); i += 1 }
-        sb.toString.split("\\s+").toSeq.filter(_.nonEmpty)
+        WsPattern.split(sb).toSeq.filter(_.nonEmpty)
       }
       WordAlignment(w, aligned)
     }
@@ -237,10 +245,10 @@ object MultiAlign {
     // word streams; findWord consumes a prefix of each. Offsets track each
     // stream's drop count so matched words map back to their original
     // token index for the per-word confidence lineage.
-    var mwords: IndexedSeq[String] = master.text.split("\\s+").toIndexedSeq.filter(_.nonEmpty)
+    var mwords: IndexedSeq[String] = WsPattern.split(master.text).toIndexedSeq.filter(_.nonEmpty)
     var mOff = 0
     val owords = Array.tabulate(versions.length - 1) { i =>
-      versions(i + 1).text.split("\\s+").toIndexedSeq.filter(_.nonEmpty)
+      WsPattern.split(versions(i + 1).text).toIndexedSeq.filter(_.nonEmpty)
     }
     val oOff = new Array[Int](versions.length - 1)
     val outWords = ArrayBuffer[AlignedWord]()

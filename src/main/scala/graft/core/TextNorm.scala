@@ -15,6 +15,11 @@ import java.text.Normalizer
   */
 object TextNorm {
 
+  /** Precompiled whitespace splitter — String.split("\\s+") pays a
+    * Pattern.compile per call (see MultiAlign.WsPattern).
+    */
+  private val WsPattern = java.util.regex.Pattern.compile("\\s+")
+
   /** Replacement table, ported verbatim from ocrolib/chars.py:42-65
     * (`replacements`). Order matters: applied sequentially like the
     * reference's `for m,r in chars.replacements: s = re.sub(m, r, s)`.
@@ -122,7 +127,7 @@ object TextNorm {
   def tokenize(text: String): Seq[String] = {
     val noDigits = text.replace("\n", " ").replace("\r", "").filterNot(_.isDigit)
     val noPunct = noDigits.map(c => if (isAsciiPunct(c)) ' ' else c)
-    noPunct.toLowerCase.trim.split("\\s+").toSeq.filter(_.nonEmpty)
+    WsPattern.split(noPunct.toLowerCase.trim).toSeq.filter(_.nonEmpty)
   }
 
   /** string.punctuation from CPython — the exact set the reference's

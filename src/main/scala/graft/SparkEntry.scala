@@ -1055,7 +1055,7 @@ object SparkEntry {
     // except one hash-agg on doc_id (map-side partials).
     "q19_simhash" -> ((s, dir) => {
       def md5s(c: Column): Column = md5(to_binary(c, lit("utf-8")))
-      val hashed = tp(s, dir, "documents")
+      val hashed = t(s, dir, "documents")
         .select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
         .filter(length(col("tok")) > 0)
         .select(col("doc_id"), md5s(col("tok")).as("h"))
@@ -1427,7 +1427,7 @@ object SparkEntry {
     // shuffles before the broadcast join; the report partial-aggregates
     // to |splits|x|langs| rows.
     "q74_oov_rate" -> ((s, dir) => {
-      val docs = tp(s, dir, "documents").withColumn("b", splitBucket)
+      val docs = t(s, dir, "documents").withColumn("b", splitBucket)
         .withColumn("split", splitName)
         .withColumn("aug", concat(col("text"),
           when(col("doc_id") % 10 === 0,
@@ -1693,7 +1693,7 @@ object SparkEntry {
     // (no floating log anywhere — hash-exact in any engine). Map-side
     // combinable partial agg; report is |langs|x|buckets| rows.
     "q72_length_hist" -> ((s, dir) => {
-      tp(s, dir, "documents")
+      t(s, dir, "documents")
         .select(col("lang"),
           size(split(col("text"), " ")).cast("long").as("n_tokens"))
         .withColumn("bucket", (length(bin(col("n_tokens"))) - 1).cast("long"))
@@ -1712,7 +1712,7 @@ object SparkEntry {
     // Scale shape: one map-side-combinable (source, token) shuffle,
     // then everything downstream is vocabulary-sized.
     "q83_tfidf_terms" -> ((s, dir) => {
-      val tf = tp(s, dir, "documents")
+      val tf = t(s, dir, "documents")
         .select(col("source"), explode(split(col("text"), " ")).as("tok"))
         .filter(length(col("tok")) >= 4)
         .groupBy(col("source"), col("tok")).agg(count(lit(1)).as("tf"))
@@ -1808,7 +1808,7 @@ object SparkEntry {
     // reassembly — both linear in corpus size, no all-pairs stage; the
     // per-chunk window state is a single row_number counter.
     "q64_chunk_dedup" -> ((s, dir) => {
-      chunkKeepFlags(tp(s, dir, "documents"))
+      chunkKeepFlags(t(s, dir, "documents"))
         .groupBy(col("doc_id"))
         .agg(count(lit(1)).as("n_chunks"),
           count(when(col("keep"), 1)).as("n_kept"),
@@ -2006,7 +2006,7 @@ object SparkEntry {
     // positional join (align/cli.py:63-79 role): i-th token of variant A vs
     // i-th token of variant B, joined on (doc_id, pos)
     "q34_pos_join" -> ((s, dir) => {
-      val docs = tp(s, dir, "documents")
+      val docs = t(s, dir, "documents")
       val a = docs.select(col("doc_id"),
         posexplode(split(col("text"), " "))).toDF("doc_id", "pos", "tok_a")
       val b = docs.select(col("doc_id"),

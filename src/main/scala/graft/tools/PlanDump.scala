@@ -21,9 +21,19 @@ object PlanDump {
       val df = graft.SparkEntry.queries(n)(spark, dir)
       val plan = df.queryExecution.explainString(
         org.apache.spark.sql.execution.FormattedMode)
+      // AQE finalizes exchange reuse / join rewrites only on execution —
+      // append the executed plan so ReusedExchange and the final join
+      // strategies are visible in the evidence files
+      // collect(), not count(): count() plans a NEW QueryExecution, so
+      // the df's own adaptive plan would never finalize (outputs are all
+      // report-sized, so the collect is safe)
+      val executed =
+        try { df.collect(); df.queryExecution.executedPlan.toString }
+        catch { case e: Throwable => s"<execution failed: ${e.getMessage}>" }
       java.nio.file.Files.write(
         java.nio.file.Paths.get(outDir, s"${n}_$suffix.txt"),
-        plan.getBytes("UTF-8"))
+        (plan + "\n\n== Executed plan (AQE final) ==\n" + executed)
+          .getBytes("UTF-8"))
       println(s"[plandump] $n -> $outDir/${n}_$suffix.txt")
     }
     spark.stop()

@@ -23,13 +23,21 @@ object SparkEntry {
     * wrong result).
     */
   private val tableSizes = new scala.collection.concurrent.TrieMap[String, Long]
-  private def tableBytes(s: SparkSession, dir: String, name: String): Long =
-    tableSizes.getOrElseUpdate(s"$dir/$name", {
-      val p = new org.apache.hadoop.fs.Path(s"$dir/$name.parquet")
+  private def tableBytes(s: SparkSession, dir: String, name: String): Long = {
+    val p = new org.apache.hadoop.fs.Path(s"$dir/$name.parquet")
+    // key carries the mtime like cachedCount's, so a table rewritten
+    // mid-session re-measures instead of serving a stale size (and a
+    // stale plan decision)
+    val mtime =
+      try p.getFileSystem(s.sparkContext.hadoopConfiguration)
+        .getFileStatus(p).getModificationTime
+      catch { case _: java.io.IOException => -1L }
+    tableSizes.getOrElseUpdate(s"$dir/$name@$mtime", {
       try p.getFileSystem(s.sparkContext.hadoopConfiguration)
         .getContentSummary(p).getLength
       catch { case _: java.io.IOException => Long.MaxValue }
     })
+  }
 
   /** Scale-ADAPTIVE parallel scan for compute-heavy derivations (guide
     * §2.5 "input skew — one huge unsplittable file", §6 input split
@@ -55,7 +63,17 @@ object SparkEntry {
     val df = t(s, dir, name)
     val n = s.sparkContext.defaultParallelism
     val maxSplit = s.sessionState.conf.filesMaxPartitionBytes
-    if (tableBytes(s, dir, name) < maxSplit * n.toLong) df.repartition(n) else df
+    val bytes = tableBytes(s, dir, name)
+    // two clauses: (a) the scan is parallelism-starved (fewer natural
+    // splits than cores), AND (b) the exchange is cheap in absolute
+    // terms (<= 8 splits ~ 1 GB at defaults). Without (b) a mid-scale
+    // table — say 20 GB on a 200-core cluster, already scanning as ~160
+    // splits — would pay a full-table shuffle to gain a handful of
+    // tasks; with it the shuffled bytes are bounded at any scale.
+    val naturalSplits = (bytes + maxSplit - 1) / maxSplit
+    if (naturalSplits < n.toLong && bytes <= 8L * maxSplit)
+      df.repartition(n)
+    else df
   }
 
   /** Table row count memoized per (dir, table, mtime): the count job is
@@ -103,6 +121,14 @@ object SparkEntry {
     * shares the join's shuffle — the shingle set is computed once, not
     * once per guard branch.
     */
+  /** Stride-7 char-12-gram shingle array over `text`, deduped
+    * ROW-LOCALLY (array_distinct) — ONE definition for q16/q78's
+    * near-dup shingles and q08's set-difference shingles, so the two
+    * spellings cannot drift (both oracles mirror this expression).
+    */
+  private def shingle12Stride7: Column = array_distinct(expr(
+    "transform(sequence(1, greatest(length(text) - 11, 1), 7), i -> substring(text, i, 12))"))
+
   private def exactJaccardPairs(docs: DataFrame): DataFrame = {
     // per-(doc, shingle) dedup is ROW-LOCAL (array_distinct before the
     // explode): with doc_id in every row, distinct-per-doc == global
@@ -112,9 +138,7 @@ object SparkEntry {
     // rows stay doc-contiguous so the sz count partial-aggregates
     // before its shuffle
     val shingles = docs.select(col("doc_id"),
-      explode(array_distinct(expr(
-        "transform(sequence(1, greatest(length(text) - 11, 1), 7), i -> substring(text, i, 12))"
-      ))).as("sh"))
+      explode(shingle12Stride7).as("sh"))
     val sizes = shingles.groupBy(col("doc_id")).agg(count(lit(1)).as("sz"))
     val rare = shingles
       .withColumn("df", count(lit(1)).over(Window.partitionBy(col("sh"))))
@@ -881,14 +905,11 @@ object SparkEntry {
     // label set difference (setdiff1d, ocropy/common.py:1107-1110):
     // shingles unique to the held-out doc subset
     "q08_set_except" -> ((s, dir) => {
-      // array_distinct dedupes (doc, shingle) row-locally BEFORE the
-      // explode, shrinking the rows entering each side's global distinct
-      // shuffle (guide §2.3 "shuffle fewer bytes"); the per-side result
-      // set is unchanged
+      // row-local array_distinct (inside shingle12Stride7) shrinks the
+      // rows entering each side's global distinct shuffle (guide §2.3
+      // "shuffle fewer bytes"); the per-side result set is unchanged
       val sh = tp(s, dir, "documents").select(col("doc_id"),
-        explode(array_distinct(expr(
-          "transform(sequence(1, greatest(length(text) - 11, 1), 7), i -> substring(text, i, 12))"
-        ))).as("sh"))
+        explode(shingle12Stride7).as("sh"))
       val a = sh.filter(col("doc_id") % 10 === 0).select(col("sh")).distinct()
       val b = sh.filter(col("doc_id") % 10 =!= 0).select(col("sh")).distinct()
       a.except(b).orderBy(col("sh"))

@@ -21,13 +21,11 @@ import scala.collection.mutable.ArrayBuffer
   */
 object MultiAlign {
 
-  /** Precompiled whitespace splitter: String.split("\\s+") recompiles
-    * the Pattern on EVERY call (only 1-char literals take the JDK fast
-    * path), and alignLineVersions splits once per (word, support) — a
-    * per-call compile in the hottest loop. Pattern.split is otherwise
-    * semantics-identical to String.split.
+  /** Precompiled whitespace splitter (TextNorm's shared Pattern):
+    * alignLineVersions splits once per (word, support extractor) — a
+    * per-call Pattern.compile in the hottest loop without it.
     */
-  private val WsPattern = java.util.regex.Pattern.compile("\\s+")
+  private val WsPattern = TextNorm.WsPattern
 
   /** One word alignment: the master token and, per support extractor, the
     * list of its tokens aligned to that master token.

@@ -16,9 +16,11 @@ import java.text.Normalizer
 object TextNorm {
 
   /** Precompiled whitespace splitter — String.split("\\s+") pays a
-    * Pattern.compile per call (see MultiAlign.WsPattern).
+    * Pattern.compile per call (only single-char literals take the JDK
+    * fast path). Shared with MultiAlign's hot alignment loop;
+    * Pattern.split is semantics-identical to String.split.
     */
-  private val WsPattern = java.util.regex.Pattern.compile("\\s+")
+  private[core] val WsPattern = java.util.regex.Pattern.compile("\\s+")
 
   /** Replacement table, ported verbatim from ocrolib/chars.py:42-65
     * (`replacements`). Order matters: applied sequentially like the

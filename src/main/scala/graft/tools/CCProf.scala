@@ -14,9 +14,9 @@ object CCProf {
       println(f"[ccprof] $tag%-26s ${(System.nanoTime() - t0) / 1e9}%.2f s")
       r
     }
+    val q = graft.SparkEntry.queries("q50_dedup_clusters")
     (1 to 3).foreach { pass =>
       println(s"--- pass $pass ---")
-      val q = graft.SparkEntry.queries("q50_dedup_clusters")
       time("q50 end-to-end")(q(spark, dir).count())
       val docs = spark.read.parquet(s"$dir/documents.parquet")
         .repartition(spark.sparkContext.defaultParallelism)

@@ -9,16 +9,19 @@ package graft.tools
   */
 object PlanDump {
   def main(args: Array[String]): Unit = {
+    require(args.length >= 2,
+      "usage: PlanDump <outDir> <suffix> [query ...]")
     val outDir = args(0)
     val suffix = args(1)
+    val qs = graft.SparkEntry.queries // def — build the map once
     val names =
       if (args.length > 2) args.drop(2).toSeq
-      else graft.SparkEntry.queries.keys.toSeq.sorted
+      else qs.keys.toSeq.sorted
     val spark = graft.SparkBoot.session(sys.env.getOrElse("SPARK_GRAFT_CPUS", "32"))
     val dir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     java.nio.file.Files.createDirectories(java.nio.file.Paths.get(outDir))
     names.foreach { n =>
-      val df = graft.SparkEntry.queries(n)(spark, dir)
+      val df = qs(n)(spark, dir)
       val plan = df.queryExecution.explainString(
         org.apache.spark.sql.execution.FormattedMode)
       // AQE finalizes exchange reuse / join rewrites only on execution —
@@ -29,7 +32,8 @@ object PlanDump {
       // report-sized, so the collect is safe)
       val executed =
         try { df.collect(); df.queryExecution.executedPlan.toString }
-        catch { case e: Throwable => s"<execution failed: ${e.getMessage}>" }
+        catch { case scala.util.control.NonFatal(e) =>
+          s"<execution failed: ${e.getMessage}>" }
       java.nio.file.Files.write(
         java.nio.file.Paths.get(outDir, s"${n}_$suffix.txt"),
         (plan + "\n\n== Executed plan (AQE final) ==\n" + executed)

@@ -288,6 +288,14 @@ object Dedup {
         struct(col("dst").as("src"), col("src").as("dst")))).as("e"))
       .select(col("e.src").as("src"), col("e.dst").as("dst"))
     val sym = (if (edgesDistinct) sym0 else sym0.distinct()).persist()
+    // NOTE (r6): seeding labels with the closed-neighborhood minimum
+    // (groupBy(src).agg(min(least(src, dst)))) saves one full-edge-set
+    // round, but ANY non-trivial seed plan here — aggregate, even
+    // checkpointed — trips Catalyst's Union constraint rewrite
+    // ("key not found: id#…") in downstream consumers that union labels
+    // with the isolated-vertex anti-join (labelsFromPairs). Three
+    // spellings were tried and reverted on test evidence; the identity
+    // init below is the shape the whole r5 test surface validates.
     var labels = sym.select(col("src").as("id")).distinct()
       .withColumn("comp", col("id")).persist()
     // the init aggregate doubles as the EAGER materialization of the
